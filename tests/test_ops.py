@@ -1,0 +1,145 @@
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+from lgd_tpu.ops import (
+    Matcher,
+    batched_nms_mask,
+    iou_loss,
+    instance_norm_2d,
+    layer_norm,
+    nms_mask,
+    sigmoid_focal_loss,
+    smooth_l1_loss,
+    topk_detections,
+)
+
+
+def _torch_focal(logits, targets, alpha=0.25, gamma=2.0):
+    p = torch.sigmoid(logits)
+    ce = TF.binary_cross_entropy_with_logits(logits, targets, reduction="none")
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        a_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = a_t * loss
+    return loss
+
+
+def test_focal_loss_matches_torch_reference():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(64, 80).astype(np.float32) * 3
+    targets = (rng.rand(64, 80) < 0.05).astype(np.float32)
+    ours = np.asarray(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    ref = _torch_focal(torch.tensor(logits), torch.tensor(targets)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_smooth_l1():
+    pred = jnp.array([0.0, 1.0, 3.0])
+    tgt = jnp.array([0.0, 0.0, 0.0])
+    # beta=0 -> L1
+    np.testing.assert_allclose(smooth_l1_loss(pred, tgt, 0.0), [0.0, 1.0, 3.0])
+    l = smooth_l1_loss(pred, tgt, 2.0)
+    np.testing.assert_allclose(l, [0.0, 0.25, 2.0])
+
+
+def test_giou_loss_perfect_match_is_zero():
+    d = jnp.array([[2.0, 2.0, 3.0, 3.0]])
+    np.testing.assert_allclose(iou_loss(d, d, box_mode="ltrb", loss_type="giou"), [0.0], atol=1e-6)
+
+
+def test_giou_loss_disjoint():
+    a = jnp.array([[0.0, 0.0, 1.0, 1.0]])
+    b = jnp.array([[2.0, 2.0, 3.0, 3.0]])
+    # IoU=0; enclosing area 9, union 2 -> giou = -7/9, loss = 1+7/9
+    np.testing.assert_allclose(
+        iou_loss(a, b, box_mode="xyxy", loss_type="giou"), [1 + 7 / 9], rtol=1e-5
+    )
+
+
+def test_nms_basic():
+    boxes = jnp.array(
+        [
+            [0.0, 0.0, 10.0, 10.0],
+            [1.0, 1.0, 11.0, 11.0],   # heavy overlap with 0
+            [20.0, 20.0, 30.0, 30.0],
+            [0.0, 0.0, 0.0, 0.0],     # padded slot
+        ]
+    )
+    scores = jnp.array([0.9, 0.8, 0.7, 0.0])
+    valid = jnp.array([True, True, True, False])
+    keep = nms_mask(boxes, scores, valid, 0.5)
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, True, False])
+
+
+def test_nms_scores_order_not_index_order():
+    boxes = jnp.array([[0.0, 0.0, 10.0, 10.0], [1.0, 1.0, 11.0, 11.0]])
+    scores = jnp.array([0.5, 0.9])  # second wins
+    keep = nms_mask(boxes, scores, jnp.array([True, True]), 0.5)
+    np.testing.assert_array_equal(np.asarray(keep), [False, True])
+
+
+def test_batched_nms_classes_dont_suppress():
+    boxes = jnp.array([[0.0, 0.0, 10.0, 10.0], [0.0, 0.0, 10.0, 10.0]])
+    scores = jnp.array([0.9, 0.8])
+    classes = jnp.array([1, 2])
+    keep = batched_nms_mask(boxes, scores, classes, jnp.array([True, True]), 0.5)
+    np.testing.assert_array_equal(np.asarray(keep), [True, True])
+
+
+def test_topk_detections():
+    boxes = jnp.arange(16.0).reshape(4, 4)
+    scores = jnp.array([0.1, 0.9, 0.5, 0.3])
+    classes = jnp.array([0, 1, 2, 3])
+    keep = jnp.array([True, True, False, True])
+    b, s, c, v = topk_detections(boxes, scores, classes, keep, 2)
+    np.testing.assert_allclose(s, [0.9, 0.3])
+    np.testing.assert_array_equal(np.asarray(c), [1, 3])
+    assert bool(v.all())
+
+
+def test_matcher_retinanet_thresholds():
+    m = Matcher([0.4, 0.5], [0, -1, 1], allow_low_quality_matches=False)
+    # 2 GT x 4 anchors
+    iou = jnp.array([[0.6, 0.45, 0.2, 0.0], [0.1, 0.3, 0.35, 0.55]])
+    valid = jnp.array([True, True])
+    matches, labels = m(iou, valid)
+    np.testing.assert_array_equal(np.asarray(labels), [1, -1, 0, 1])
+    np.testing.assert_array_equal(np.asarray(matches), [0, 0, 1, 1])
+
+
+def test_matcher_low_quality_promotion():
+    m = Matcher([0.4, 0.5], [0, -1, 1], allow_low_quality_matches=True)
+    # GT 1's best anchor only reaches 0.3 -> promoted to fg anyway
+    iou = jnp.array([[0.6, 0.0, 0.0], [0.0, 0.3, 0.1]])
+    valid = jnp.array([True, True])
+    _, labels = m(iou, valid)
+    np.testing.assert_array_equal(np.asarray(labels), [1, 1, 0])
+
+
+def test_matcher_padded_gt_never_matches():
+    m = Matcher([0.4, 0.5], [0, -1, 1], allow_low_quality_matches=True)
+    iou = jnp.array([[0.6, 0.0], [0.99, 0.99]])  # row 1 is a padded GT
+    valid = jnp.array([True, False])
+    matches, labels = m(iou, valid)
+    np.testing.assert_array_equal(np.asarray(matches), [0, 0])
+    np.testing.assert_array_equal(np.asarray(labels), [1, 0])
+
+
+def test_instance_norm_matches_torch():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 8, 8, 16).astype(np.float32)
+    ours = np.asarray(instance_norm_2d(jnp.asarray(x)))
+    xt = torch.tensor(x).permute(0, 3, 1, 2)  # NCHW
+    ref = torch.nn.functional.instance_norm(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm_channel():
+    rng = np.random.RandomState(2)
+    x = rng.randn(5, 64).astype(np.float32)
+    ours = np.asarray(layer_norm(jnp.asarray(x), axis=-1))
+    ref = TF.layer_norm(torch.tensor(x), (64,)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
