@@ -219,4 +219,37 @@ def _check_and_coerce_cfg_value_type(replacement, original, key, full_key):
     )
 
 
+class FrozenCfg:
+    """Immutable, hashable wrapper around a CfgNode for use as a *static*
+    field on Flax modules (a raw CfgNode is a dict subclass and would be
+    coerced to a FrozenDict, losing attribute access). Hash/eq use the
+    canonical YAML dump so jit retracing is keyed by config *content*."""
+
+    def __init__(self, cfg: CfgNode):
+        if isinstance(cfg, FrozenCfg):
+            cfg = cfg._cfg
+        object.__setattr__(self, "_cfg", cfg)
+        object.__setattr__(self, "_dump", cfg.dump())
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_cfg"), name)
+
+    def __getitem__(self, name):
+        return object.__getattribute__(self, "_cfg")[name]
+
+    def __setattr__(self, name, value):
+        raise AttributeError("FrozenCfg is immutable")
+
+    def __hash__(self):
+        return hash(object.__getattribute__(self, "_dump"))
+
+    def __eq__(self, other):
+        return isinstance(other, FrozenCfg) and object.__getattribute__(
+            self, "_dump"
+        ) == object.__getattribute__(other, "_dump")
+
+    def unwrap(self) -> CfgNode:
+        return object.__getattribute__(self, "_cfg")
+
+
 CN = CfgNode

@@ -1,0 +1,139 @@
+"""Per-sample mapper: raw dataset dict -> padded-tensor-ready numpy sample.
+
+Equivalent of the reference's DatasetMapper fork
+(utils/dataset_mapper.py:136-355): read image (BGR), augment (multi-scale
+resize-shortest-edge + flip + optional crop), transform annotations, filter
+degenerate boxes, and produce the LGD extras — 7x7 in-box mask descriptors
+and stride-aligned rasterized bitmasks when LOAD_LABELMAP (the reference's
+label_map/segmask path, dataset_mapper.py:335-339 + teacher utils.py:92-132).
+Annotations are kept at eval time because teacher eval needs GT
+(dataset_mapper.py:300-304).
+
+Output sample dict (numpy):
+    image: (h', w', 3) float32 BGR, resized (NOT yet padded/batched)
+    height/width: original size (for eval rescaling)
+    image_id, boxes (N, 4) x1y1x2y2 float32, classes (N,) int64,
+    masks49 (N, 49) float32 [LOAD_LABELMAP], polygons (list) [LOAD_LABELMAP]
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from .transforms import (
+    apply_augmentations,
+    build_augmentation,
+    transform_boxes,
+    transform_polygons,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def read_image_bgr(file_name: str) -> np.ndarray:
+    img = cv2.imread(file_name, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(file_name)
+    return img
+
+
+def rasterize_polygons(polygons: List[np.ndarray], h: int, w: int
+                       ) -> np.ndarray:
+    """Polygon list (flattened xy) -> (h, w) uint8 bitmask (cv2.fillPoly;
+    replaces pycocotools polygon rasterization)."""
+    mask = np.zeros((h, w), np.uint8)
+    pts = [
+        np.round(np.asarray(p, np.float64).reshape(-1, 2)).astype(np.int32)
+        for p in polygons
+        if len(p) >= 6
+    ]
+    if pts:
+        cv2.fillPoly(mask, pts, 1)
+    return mask
+
+
+def crop_and_resize_mask(polygons, box, size: int = 7) -> np.ndarray:
+    """GT mask cropped to its box and resized to size x size, binarized —
+    detectron2 PolygonMasks.crop_and_resize as used for the 49-d descriptor
+    tail (label_encoder.py:61-63)."""
+    x1, y1, x2, y2 = box
+    w = max(x2 - x1, 1e-2)
+    h = max(y2 - y1, 1e-2)
+    scaled = []
+    for p in polygons:
+        q = np.asarray(p, np.float64).reshape(-1, 2).copy()
+        q[:, 0] = (q[:, 0] - x1) * (size / w)
+        q[:, 1] = (q[:, 1] - y1) * (size / h)
+        scaled.append(q.reshape(-1))
+    return rasterize_polygons(scaled, size, size).astype(np.float32).reshape(-1)
+
+
+class DatasetMapper:
+    def __init__(self, cfg, is_train: bool = True):
+        self.is_train = is_train
+        self.augmentations = build_augmentation(cfg, is_train)
+        self.use_instance_mask = cfg.MODEL.MASK_ON
+        self.load_labelmap = cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP
+        self.segmask_stride = cfg.TPU.SEGMASK_STRIDE
+        self.filter_empty = cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+        self.stronger_augs = cfg.MODEL.STRONGER_AUGS
+
+    def __call__(self, dataset_dict: Dict, rng: np.random.RandomState
+                 ) -> Optional[Dict]:
+        d = dict(dataset_dict)
+        image = read_image_bgr(d["file_name"]) if "file_name" in d else d["image"]
+        image, tfms = apply_augmentations(self.augmentations, image, rng)
+        h, w = image.shape[:2]
+
+        annos = [a for a in d.get("annotations", [])
+                 if a.get("iscrowd", 0) == 0]
+        boxes = np.zeros((0, 4), np.float32)
+        classes = np.zeros((0,), np.int64)
+        polygons: List[List[np.ndarray]] = []
+        if annos:
+            raw = np.asarray([a["bbox"] for a in annos], np.float32)
+            # XYWH -> XYXY
+            boxes = np.concatenate([raw[:, :2], raw[:, :2] + raw[:, 2:]], axis=1)
+            boxes = transform_boxes(tfms, boxes)
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+            classes = np.asarray([a["category_id"] for a in annos], np.int64)
+            if self.load_labelmap or self.use_instance_mask:
+                polygons = [
+                    transform_polygons(tfms, a.get("segmentation", []))
+                    for a in annos
+                ]
+            # filter degenerate (detectron2 filter_empty_instances)
+            keep = (boxes[:, 2] > boxes[:, 0] + 1e-3) & (
+                boxes[:, 3] > boxes[:, 1] + 1e-3
+            )
+            boxes, classes = boxes[keep], classes[keep]
+            polygons = [p for p, k in zip(polygons, keep) if k] if polygons else []
+
+        if self.is_train and self.filter_empty and len(boxes) == 0:
+            return None  # caller resamples
+
+        sample = {
+            "image": image.astype(np.float32),
+            "height": d.get("height", h),
+            "width": d.get("width", w),
+            "image_id": d.get("image_id", -1),
+            "boxes": boxes,
+            "classes": classes,
+        }
+        if self.stronger_augs and self.is_train:
+            from .transforms import strong_augment
+
+            sample["extra_image"] = strong_augment(image, rng)
+        if self.load_labelmap:
+            sample["masks49"] = (
+                np.stack([
+                    crop_and_resize_mask(p, b) for p, b in zip(polygons, boxes)
+                ]) if len(boxes) else np.zeros((0, 49), np.float32)
+            )
+            sample["polygons"] = polygons
+        return sample

@@ -1,0 +1,240 @@
+"""Padded-batch data loaders (host side).
+
+TPU-first rework of the reference's loader builders (utils/build.py:262-412):
+the ragged list-of-dicts batches become fixed-canvas padded tensors so every
+train step hits one of two compiled programs (landscape/portrait aspect
+buckets — the reference's AspectRatioGroupedDataset, utils/build.py:289-298,
+reinterpreted as canvas-shape bucketing). An infinite shared-seed
+TrainingSampler shards indices per host; a background thread pipeline maps +
+batches ahead of the device.
+
+Canvas shapes: short = ceil(max(MIN_SIZE_TRAIN)/d)*d, long =
+ceil(MAX_SIZE_TRAIN/d)*d with d = TPU.PAD_SIZE_DIVISIBILITY; landscape
+images pad onto (short, long), portrait onto (long, short).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..structures import BatchedInstances
+from .coco import get_detection_dataset_dicts
+from .dataset_mapper import DatasetMapper, rasterize_polygons
+
+logger = logging.getLogger(__name__)
+
+
+def _ceil_to(x, d):
+    return int(-(-x // d) * d)
+
+
+def train_canvas_shapes(cfg):
+    d = cfg.TPU.PAD_SIZE_DIVISIBILITY
+    if cfg.TPU.TRAIN_CANVAS:
+        h, w = cfg.TPU.TRAIN_CANVAS
+        return (int(h), int(w)), (int(w), int(h))
+    short = _ceil_to(max(cfg.INPUT.MIN_SIZE_TRAIN), d)
+    long_ = _ceil_to(cfg.INPUT.MAX_SIZE_TRAIN, d)
+    return (short, long_), (long_, short)  # landscape, portrait
+
+
+def eval_canvas_shape(cfg):
+    d = cfg.TPU.PAD_SIZE_DIVISIBILITY
+    if cfg.TPU.EVAL_CANVAS:
+        h, w = cfg.TPU.EVAL_CANVAS
+        return (int(h), int(w))
+    long_ = _ceil_to(cfg.INPUT.MAX_SIZE_TEST, d)
+    return (long_, long_)
+
+
+class TrainingSampler:
+    """Infinite shuffled index stream with a shared seed; each host consumes
+    indices[rank::world] (reference TrainingSampler, utils/build.py:351-352)."""
+
+    def __init__(self, size: int, seed: int = 2022, shuffle: bool = True,
+                 rank: int = 0, world_size: int = 1):
+        self.size = size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.rank = rank
+        self.world_size = world_size
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self.seed)
+        while True:
+            order = g.permutation(self.size) if self.shuffle else np.arange(self.size)
+            yield from order[self.rank :: self.world_size].tolist()
+
+
+def pack_batch(samples: List[Dict], canvas_hw, max_instances: int,
+               segmask_stride: Optional[int] = None) -> Dict:
+    """Samples (mapper outputs) -> padded device batch dict."""
+    B = len(samples)
+    H, W = canvas_hw
+    images = np.zeros((B, H, W, 3), np.float32)
+    sizes = np.zeros((B, 2), np.int32)
+    boxes_list, classes_list, masks49_list, bitmask_list = [], [], [], []
+    meta = []
+    for i, s in enumerate(samples):
+        img = s["image"]
+        h, w = img.shape[:2]
+        if h > H or w > W:  # canvas guard (shouldn't happen with buckets)
+            img = img[:H, :W]
+            h, w = img.shape[:2]
+        images[i, :h, :w] = img
+        sizes[i] = (h, w)
+        boxes_list.append(s["boxes"])
+        classes_list.append(s["classes"])
+        masks49_list.append(s.get("masks49"))
+        if segmask_stride is not None:
+            hs, ws = H // segmask_stride, W // segmask_stride
+            polys = s.get("polygons") or []
+            n = len(s["boxes"])
+            bm = np.zeros((n, hs, ws), np.uint8)
+            for j, p in enumerate(polys[:n]):
+                full = rasterize_polygons(p, h, w)
+                # nearest downsample onto the stride grid of the padded canvas
+                ys = np.minimum(np.arange(hs) * segmask_stride, h - 1)
+                xs = np.minimum(np.arange(ws) * segmask_stride, w - 1)
+                sub = full[ys][:, xs]
+                sub[ys >= h] = 0
+                bm[j] = sub
+            bitmask_list.append(bm)
+        meta.append({
+            "image_id": s.get("image_id", -1),
+            "height": s.get("height", h),
+            "width": s.get("width", w),
+            "input_hw": (h, w),
+        })
+
+    use_masks = any(m is not None for m in masks49_list)
+    gt = BatchedInstances.from_lists(
+        boxes_list, classes_list, capacity=max_instances,
+        masks49_list=masks49_list if use_masks else None,
+        bitmasks_list=bitmask_list if segmask_stride is not None else None,
+    )
+    import jax.numpy as jnp
+
+    return {
+        "image": jnp.asarray(images),
+        "image_size": jnp.asarray(sizes),
+        "gt": gt,
+        "_meta": meta,  # host-only; stripped before jit
+    }
+
+
+class TrainLoader:
+    """Infinite iterator of padded batches, aspect-bucketed, thread-prefetched."""
+
+    def __init__(self, cfg, dataset_dicts=None, mapper=None, rank: int = 0,
+                 world_size: int = 1, local_batch_size: Optional[int] = None):
+        self.cfg = cfg
+        if dataset_dicts is None:
+            dataset_dicts = get_detection_dataset_dicts(
+                cfg.DATASETS.TRAIN,
+                filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
+            )
+        self.dataset_dicts = dataset_dicts
+        self.mapper = mapper or DatasetMapper(cfg, is_train=True)
+        total = cfg.SOLVER.IMS_PER_BATCH
+        assert total % world_size == 0, (
+            f"IMS_PER_BATCH={total} not divisible by world_size={world_size}"
+        )
+        self.batch_size = local_batch_size or total // world_size
+        self.sampler = TrainingSampler(
+            len(dataset_dicts),
+            seed=cfg.SEED if cfg.SEED > 0 else 2022,
+            rank=rank, world_size=world_size,
+        )
+        self.canvas_landscape, self.canvas_portrait = train_canvas_shapes(cfg)
+        self.max_instances = cfg.TPU.MAX_INSTANCES
+        self.segmask_stride = (
+            cfg.TPU.SEGMASK_STRIDE
+            if cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP else None
+        )
+        self.aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
+        self.prefetch = cfg.TPU.PREFETCH
+        self._rng = np.random.RandomState(
+            (cfg.SEED if cfg.SEED > 0 else 2022) * 1000 + rank
+        )
+
+    def _sample_stream(self):
+        for idx in self.sampler:
+            s = self.mapper(self.dataset_dicts[idx], self._rng)
+            if s is not None:
+                yield s
+
+    def _batch_stream(self):
+        buckets: Dict[int, List] = {0: [], 1: []}
+        for s in self._sample_stream():
+            h, w = s["image"].shape[:2]
+            b = 0 if w >= h else 1
+            if not self.aspect_grouping:
+                b = 0
+            buckets[b].append(s)
+            if len(buckets[b]) == self.batch_size:
+                canvas = (self.canvas_landscape if b == 0
+                          else self.canvas_portrait)
+                if not self.aspect_grouping:
+                    canvas = (max(self.canvas_landscape),) * 2
+                yield pack_batch(buckets[b], canvas, self.max_instances,
+                                 self.segmask_stride)
+                buckets[b] = []
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in self._batch_stream():
+                    q.put(b)
+            except Exception as e:  # surfaced on the consumer side
+                q.put(e)
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+class TestLoader:
+    """Sequential eval loader: one padded batch per image (batch=1 like the
+    reference test loader, utils/build.py:369-412)."""
+
+    def __init__(self, cfg, dataset_name: str, mapper=None):
+        self.cfg = cfg
+        self.dataset_dicts = get_detection_dataset_dicts(
+            [dataset_name], filter_empty=False
+        )
+        self.mapper = mapper or DatasetMapper(cfg, is_train=False)
+        self.canvas = eval_canvas_shape(cfg)
+        self.max_instances = cfg.TPU.MAX_INSTANCES
+        self.segmask_stride = (
+            cfg.TPU.SEGMASK_STRIDE
+            if cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP else None
+        )
+
+    def __len__(self):
+        return len(self.dataset_dicts)
+
+    def __iter__(self):
+        rng = np.random.RandomState(0)
+        for d in self.dataset_dicts:
+            s = self.mapper(d, rng)
+            if s is None:
+                continue
+            yield pack_batch([s], self.canvas, self.max_instances,
+                             self.segmask_stride)

@@ -1,0 +1,185 @@
+"""Training / evaluation drivers (host loop around the jitted step).
+
+Equivalent of the reference's do_train / do_test / my_inference_on_dataset
+(train.py:131-234, utils/build.py:426-487): plain iteration loop with
+distill-phase scheduling (inside the compiled step here), periodic eval
+including the teacher branch (EVAL_TEACHER), periodic checkpointing, metric
+writers, and warmup-aware inference timing logs.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import TestLoader, TrainLoader
+from ..evaluation import COCOEvaluator
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoint import Checkpointer, PeriodicCheckpointer
+from .events import (
+    CommonMetricPrinter,
+    EventStorage,
+    JSONWriter,
+    TensorboardWriter,
+)
+from .train_step import jit_train_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def _strip_meta(batch):
+    return {k: v for k, v in batch.items() if not k.startswith("_")}
+
+
+def do_test(cfg, model, variables, eval_teacher: bool = False) -> Dict:
+    """COCO evaluation of the current parameters; optionally routes teacher
+    features through the student head (train.py:223-225 EVAL_TEACHER)."""
+    results = {}
+    for dataset_name in cfg.DATASETS.TEST:
+        loader = TestLoader(cfg, dataset_name)
+        evaluator = COCOEvaluator(dataset_name,
+                                  num_classes=cfg.NUM_CLASSES)
+        evaluator.reset()
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def infer(variables, image, image_size, gt, eval_teacher):
+            return model.apply(variables, image, image_size, gt,
+                               eval_teacher, method=model.inference)
+
+        total = len(loader)
+        num_warmup = min(5, total - 1)
+        t_start = time.perf_counter()
+        compute_time = 0.0
+        for idx, batch in enumerate(loader):
+            if idx == num_warmup:
+                t_start = time.perf_counter()
+                compute_time = 0.0
+            t0 = time.perf_counter()
+            out = infer(variables, batch["image"], batch["image_size"],
+                        batch["gt"], eval_teacher)
+            out = jax.device_get(out)
+            compute_time += time.perf_counter() - t0
+            dets, mask_probs = out if isinstance(out, tuple) else (out, None)
+
+            meta = batch["_meta"][0]
+            ih, iw = meta["input_hw"]
+            sx = meta["width"] / iw
+            sy = meta["height"] / ih
+            valid = np.asarray(dets.valid[0])
+            boxes = np.asarray(dets.boxes[0])[valid]
+            boxes = boxes * np.asarray([sx, sy, sx, sy])
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, meta["width"])
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, meta["height"])
+            evaluator.process(
+                meta["image_id"], boxes,
+                np.asarray(dets.scores[0])[valid],
+                np.asarray(dets.classes[0])[valid],
+                masks=(np.asarray(mask_probs[0])[valid]
+                       if mask_probs is not None else None),
+            )
+        n_timed = max(total - num_warmup, 1)
+        logger.info(
+            "Total inference pure compute time: %.6f s / img (%d imgs)",
+            compute_time / n_timed, total,
+        )
+        iou_types = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+        results[dataset_name] = evaluator.evaluate(iou_types)
+        logger.info("Results[%s]: %s", dataset_name, results[dataset_name])
+    if len(results) == 1:
+        return next(iter(results.values()))
+    return results
+
+
+def do_train(cfg, model, resume: bool = False,
+             loader: Optional[TrainLoader] = None):
+    """The reference's plain training loop (train.py:148-234), with the
+    phase schedule compiled into the step."""
+    # mesh over the largest device count dividing the global batch
+    # (the reference asserts divisibility, utils/build.py:282-285)
+    n_dev = len(jax.devices())
+    while cfg.SOLVER.IMS_PER_BATCH % n_dev:
+        n_dev -= 1
+    if n_dev != len(jax.devices()):
+        logger.warning(
+            "IMS_PER_BATCH=%d not divisible by %d devices; using %d",
+            cfg.SOLVER.IMS_PER_BATCH, len(jax.devices()), n_dev)
+    mesh = make_mesh(("data",), devices=jax.devices()[:n_dev])
+    if loader is None:
+        loader = TrainLoader(cfg, world_size=1)  # single-host: full batch
+
+    init_state, train_step = make_train_step(cfg, model)
+
+    it = iter(loader)
+    first = next(it)
+    state = init_state(jax.random.PRNGKey(max(cfg.SEED, 0)), _strip_meta(first))
+
+    # cold-start weights (detectron2:// pkl / converted torch) if present
+    from ..utils.weight_convert import maybe_load_pretrained
+
+    state = maybe_load_pretrained(cfg, state)
+
+    ckpt = Checkpointer(cfg.OUTPUT_DIR)
+    state, start_iter = ckpt.resume_or_load(state, resume=resume)
+    max_iter = cfg.SOLVER.MAX_ITER
+    periodic = PeriodicCheckpointer(ckpt, cfg.SOLVER.CHECKPOINT_PERIOD,
+                                    max_iter)
+
+    jstep = jit_train_step(train_step, mesh, _strip_meta(first))
+
+    storage = EventStorage(start_iter)
+    writers = [
+        CommonMetricPrinter(max_iter),
+        JSONWriter(f"{cfg.OUTPUT_DIR}/metrics.json"),
+        TensorboardWriter(cfg.OUTPUT_DIR),
+    ]
+
+    # first-class step tracing (the reference has none — SURVEY.md §5):
+    # TPU.PROFILE_DIR captures an xplane trace of a few steady-state steps.
+    prof_dir = cfg.TPU.PROFILE_DIR
+    prof_start = start_iter + cfg.TPU.PROFILE_START_ITER
+    prof_stop = prof_start + cfg.TPU.PROFILE_NUM_ITERS
+
+    logger.info("Starting training from iteration %d", start_iter)
+    batch = first
+    for iteration in range(start_iter, max_iter):
+        storage.iter = iteration
+        if prof_dir and iteration == prof_start:
+            jax.profiler.start_trace(prof_dir)
+        state, metrics = jstep(state, shard_batch(_strip_meta(batch), mesh))
+        if prof_dir and iteration == prof_stop:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            logger.info("Wrote profiler trace to %s", prof_dir)
+
+        if (iteration + 1) % 20 == 0 or iteration == max_iter - 1:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            total = host_metrics.get("total_loss", 0.0)
+            assert np.isfinite(total), f"Loss diverged: {host_metrics}"
+            storage.put_scalars(**host_metrics)
+            for w in writers:
+                w.write(storage)
+
+        if (
+            cfg.TEST.EVAL_PERIOD > 0
+            and (iteration + 1) % cfg.TEST.EVAL_PERIOD == 0
+            and iteration != max_iter - 1
+        ):
+            variables = {"params": state.params}
+            if state.frozen:
+                variables["frozen"] = state.frozen
+            do_test(cfg, model, variables)
+            if cfg.MODEL.DISTILLATOR.EVAL_TEACHER:
+                logger.info("************** EVAL TEACHER ***************")
+                do_test(cfg, model, variables, eval_teacher=True)
+
+        periodic.step(iteration, state)
+        batch = next(it)
+
+    ckpt.wait()
+    return state

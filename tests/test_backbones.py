@@ -1,0 +1,121 @@
+"""Backbone tests: DCNv2 (zero-offset == dense conv), Swin-Tiny shapes +
+static shifted-window masks, weight-converter mapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lgd_tpu.ops.deform_conv import deform_conv2d_params
+
+
+def test_dcnv2_zero_offsets_equals_dense_conv():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 12, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    offsets = jnp.zeros((2, 10, 12, 18))
+    mask = jnp.ones((2, 10, 12, 9))
+    out = deform_conv2d_params(x, w, offsets, mask, stride=1, dilation=1,
+                               dtype=jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dcnv2_stride2_shape():
+    x = jnp.zeros((1, 16, 16, 4))
+    w = jnp.zeros((3, 3, 4, 8))
+    Ho = Wo = 8
+    offsets = jnp.zeros((1, Ho, Wo, 18))
+    out = deform_conv2d_params(x, w, offsets, None, stride=2,
+                               dtype=jnp.float32)
+    assert out.shape == (1, 8, 8, 8)
+
+
+def test_dcnv2_integer_shift_offsets():
+    """Offset of exactly (+1, 0) on every tap == convolving the shifted
+    image (interior pixels)."""
+    rng = np.random.RandomState(1)
+    x = np.zeros((1, 8, 8, 1), np.float32)
+    x[0, :, :, 0] = rng.randn(8, 8)
+    w = np.zeros((3, 3, 1, 1), np.float32)
+    w[1, 1, 0, 0] = 1.0  # identity kernel (center tap)
+    offsets = np.zeros((1, 8, 8, 18), np.float32)
+    offsets[..., 0::2] = 1.0  # dy = +1 for every tap
+    out = deform_conv2d_params(jnp.asarray(x), jnp.asarray(w),
+                               jnp.asarray(offsets), None, dtype=jnp.float32)
+    # output(i, j) = x(i+1, j) for interior rows
+    np.testing.assert_allclose(np.asarray(out)[0, :7, :, 0], x[0, 1:, :, 0],
+                               atol=1e-5)
+
+
+def test_swin_tiny_shapes():
+    from lgd_tpu.models.backbones.swin import SwinTransformer
+
+    model = SwinTransformer(dtype=jnp.float32, drop_path_rate=0.0)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["stage2"].shape == (1, 56, 56, 96)
+    assert out["stage3"].shape == (1, 28, 28, 192)
+    assert out["stage4"].shape == (1, 14, 14, 384)
+    assert out["stage5"].shape == (1, 7, 7, 768)
+
+
+def test_swin_shift_mask_static():
+    from lgd_tpu.models.backbones.swin import _shift_attn_mask
+
+    m = _shift_attn_mask(14, 14, 7, 3)
+    assert m.shape == (4, 49, 49)
+    # the first (interior) window has no cross-region pairs
+    assert (m[0] == 0).all()
+    # the last (corner) window mixes regions
+    assert (m[-1] < 0).any()
+
+
+def test_swin_weight_converter_mapping():
+    from lgd_tpu.utils.weight_convert import convert_swin_state
+
+    raw = {
+        "patch_embed.proj.weight": np.zeros((96, 3, 4, 4)),
+        "patch_embed.proj.bias": np.zeros(96),
+        "patch_embed.norm.weight": np.ones(96),
+        "patch_embed.norm.bias": np.zeros(96),
+        "layers.0.blocks.0.norm1.weight": np.ones(96),
+        "layers.0.blocks.0.attn.qkv.weight": np.zeros((288, 96)),
+        "layers.0.blocks.0.attn.relative_position_bias_table":
+            np.zeros((169, 3)),
+        "layers.0.blocks.0.mlp.fc1.weight": np.zeros((384, 96)),
+        "layers.0.downsample.reduction.weight": np.zeros((192, 384)),
+        "norm0.weight": np.ones(96),
+    }
+    conv = convert_swin_state(raw)
+    p = conv["params"]
+    assert p["patch_embed"]["kernel"].shape == (4, 4, 3, 96)
+    assert p["stage2_block0"]["attn"]["qkv"]["kernel"].shape == (96, 288)
+    assert p["stage2_block0"]["mlp_fc1"]["kernel"].shape == (96, 384)
+    assert p["stage2_downsample"]["reduction"]["kernel"].shape == (384, 192)
+    assert "scale" in p["stage2_norm"]
+
+
+def test_resnet_pkl_converter_mapping():
+    from lgd_tpu.utils.weight_convert import convert_resnet_state
+
+    raw = {
+        "conv1_w": np.zeros((64, 3, 7, 7)),
+        "res_conv1_bn_s": np.ones(64),
+        "res2_0_branch2a_w": np.zeros((64, 64, 1, 1)),
+        "res2_0_branch2a_bn_s": np.ones(64),
+        "res2_0_branch2a_bn_b": np.zeros(64),
+        "res2_0_branch1_w": np.zeros((256, 64, 1, 1)),
+        "fc1000_w": np.zeros((1000, 2048)),  # classifier -> dropped
+    }
+    # caffe2-style: *_w/_b and *_bn_s names are normalized first
+    raw = {k.replace("_bn_s", "_bn.weight").replace("_bn_b", "_bn.bias"): v
+           for k, v in raw.items()}
+    conv = convert_resnet_state(raw)
+    p = conv["params"]
+    assert p["stem_conv1"]["conv"]["kernel"].shape == (7, 7, 3, 64)
+    assert p["res2_0"]["conv1"]["conv"]["kernel"].shape == (1, 1, 64, 64)
+    assert p["res2_0"]["shortcut"]["conv"]["kernel"].shape == (1, 1, 64, 256)
