@@ -72,6 +72,65 @@ class TrainingSampler:
             yield from order[self.rank :: self.world_size].tolist()
 
 
+class RepeatFactorTrainingSampler(TrainingSampler):
+    """detectron2 RepeatFactorTrainingSampler (referenced by
+    DATALOADER.SAMPLER_TRAIN; utils/build.py:26): images are repeated by
+    ceil-with-stochastic-fraction of max_c sqrt(t / f(c)) over their
+    categories, where f(c) is the category image frequency."""
+
+    def __init__(self, dataset_dicts, repeat_thresh: float, seed: int = 2022,
+                 shuffle: bool = True, rank: int = 0, world_size: int = 1):
+        super().__init__(len(dataset_dicts), seed, shuffle, rank, world_size)
+        from collections import Counter
+
+        freq = Counter()
+        n = len(dataset_dicts)
+        cats_per_img = []
+        for d in dataset_dicts:
+            cats = {a["category_id"] for a in d.get("annotations", [])
+                    if a.get("iscrowd", 0) == 0}
+            cats_per_img.append(cats)
+            freq.update(cats)
+        cat_rep = {
+            c: max(1.0, np.sqrt(repeat_thresh / (v / n)))
+            for c, v in freq.items()
+        }
+        self._rep = np.asarray(
+            [max([cat_rep[c] for c in cats], default=1.0)
+             for cats in cats_per_img]
+        )
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self.seed)
+        while True:
+            # stochastic rounding of the fractional repeat part per epoch
+            rands = g.rand(self.size)
+            rep = np.floor(self._rep) + (rands < (self._rep % 1.0))
+            indices = np.repeat(np.arange(self.size), rep.astype(np.int64))
+            if self.shuffle:
+                indices = indices[g.permutation(len(indices))]
+            yield from indices[self.rank :: self.world_size].tolist()
+
+
+def log_class_histogram(dataset_dicts, class_names=None):
+    """Startup class-frequency histogram (reference utils/build.py:167-209)."""
+    from collections import Counter
+
+    counts = Counter()
+    for d in dataset_dicts:
+        counts.update(
+            a["category_id"] for a in d.get("annotations", [])
+            if a.get("iscrowd", 0) == 0
+        )
+    total = sum(counts.values())
+    top = counts.most_common(20)
+    rows = "  ".join(
+        f"{(class_names[c] if class_names and c < len(class_names) else c)}:{n}"
+        for c, n in top
+    )
+    logger.info("Instance distribution (%d total, top 20): %s", total, rows)
+
+
 def pack_batch(samples: List[Dict], canvas_hw, max_instances: int,
                segmask_stride: Optional[int] = None) -> Dict:
     """Samples (mapper outputs) -> padded device batch dict."""
@@ -142,16 +201,21 @@ class TrainLoader:
             )
         self.dataset_dicts = dataset_dicts
         self.mapper = mapper or DatasetMapper(cfg, is_train=True)
+        log_class_histogram(dataset_dicts)
         total = cfg.SOLVER.IMS_PER_BATCH
         assert total % world_size == 0, (
             f"IMS_PER_BATCH={total} not divisible by world_size={world_size}"
         )
         self.batch_size = local_batch_size or total // world_size
-        self.sampler = TrainingSampler(
-            len(dataset_dicts),
-            seed=cfg.SEED if cfg.SEED > 0 else 2022,
-            rank=rank, world_size=world_size,
-        )
+        seed = cfg.SEED if cfg.SEED > 0 else 2022
+        if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
+            self.sampler = RepeatFactorTrainingSampler(
+                dataset_dicts, cfg.DATALOADER.REPEAT_THRESHOLD, seed=seed,
+                rank=rank, world_size=world_size)
+        else:
+            self.sampler = TrainingSampler(
+                len(dataset_dicts), seed=seed, rank=rank,
+                world_size=world_size)
         self.canvas_landscape, self.canvas_portrait = train_canvas_shapes(cfg)
         self.max_instances = cfg.TPU.MAX_INSTANCES
         self.segmask_stride = (
