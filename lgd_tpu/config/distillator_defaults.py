@@ -130,6 +130,11 @@ def build_fcos(cfg: CN) -> CN:
     )
     cfg.MODEL.SHIFT_GENERATOR = CN(dict(NUM_SHIFTS=1, OFFSET=0.5))
     cfg.MODEL.NMS_TYPE = "normal"
-    cfg.MODEL.POTO = CN(dict(ALPHA=0.8, CENTER_SAMPLING_RADIUS=1.5, REG_WEIGHT=2.0))
+    cfg.MODEL.POTO = CN(dict(ALPHA=0.8, CENTER_SAMPLING_RADIUS=1.5,
+                             REG_WEIGHT=2.0,
+                             # lgd_tpu extension: 'greedy' (on-device,
+                             # sync-free) or 'hungarian' (exact scipy via
+                             # host callback, the reference's poto.py:359)
+                             ASSIGNMENT="greedy"))
     cfg.MODEL.ATSS = CN(dict(ANCHOR_SCALE=8, TOPK=9))
     return cfg

@@ -139,6 +139,31 @@ def greedy_one_to_one(quality):
     return assign
 
 
+def hungarian_one_to_one(quality):
+    """Exact linear-sum assignment via scipy on the host (pure_callback) —
+    the reference's matching (poto.py:359), one device<->host sync per step.
+    quality: (B, M, R) with -INF masking. Returns (B, M) int32 (-1 = none)."""
+    import numpy as np
+
+    def host_fn(q):
+        from scipy.optimize import linear_sum_assignment
+
+        q = np.asarray(q)
+        out = np.full(q.shape[:2], -1, np.int32)
+        for b in range(q.shape[0]):
+            rows, cols = linear_sum_assignment(q[b], maximize=True)
+            keep = q[b][rows, cols] > -INF / 2
+            out[b][rows[keep]] = cols[keep].astype(np.int32)
+        return out
+
+    return jax.pure_callback(
+        host_fn,
+        jax.ShapeDtypeStruct(quality.shape[:2], jnp.int32),
+        quality,
+        vmap_method="broadcast_all",
+    )
+
+
 def poto_ground_truth(cfg, shifts, shift_strides, gt: BatchedInstances,
                       pred_logits, pred_deltas):
     """poto.py:288-385: quality-based one-to-one assignment.
@@ -154,7 +179,7 @@ def poto_ground_truth(cfg, shifts, shift_strides, gt: BatchedInstances,
     pred_logits = jax.lax.stop_gradient(pred_logits)
     pred_deltas = jax.lax.stop_gradient(pred_deltas)
 
-    def per_image(args):
+    def quality_fn(args):
         boxes, classes, valid, logits, deltas_pred = args
         probs = jax.nn.sigmoid(logits)  # (R, K)
         prob_gt = probs[:, classes].T  # (M, R)
@@ -176,25 +201,34 @@ def poto_ground_truth(cfg, shifts, shift_strides, gt: BatchedInstances,
             deltas = tf.get_deltas(shifts[None], boxes[:, None, :])
             is_in = jnp.min(deltas, axis=-1) > 0
 
-        quality = jnp.where(is_in & valid[:, None], quality, -INF)
-        assign = greedy_one_to_one(quality)  # (M,) shift idx or -1
+        return jnp.where(is_in & valid[:, None], quality, -INF)
 
-        R = shifts.shape[0]
+    quality = jax.lax.map(
+        quality_fn,
+        (gt.boxes, gt.classes, gt.valid, pred_logits, pred_deltas),
+    )  # (B, M, R)
+
+    if getattr(cfg.MODEL.POTO, "ASSIGNMENT", "greedy") == "hungarian":
+        assign = hungarian_one_to_one(quality)  # (B, M)
+    else:
+        assign = jax.lax.map(greedy_one_to_one, quality)
+
+    R = shifts.shape[0]
+
+    def targets_fn(args):
+        assign_i, boxes, classes = args
         # out-of-bounds index + mode='drop' discards unassigned rows
-        scatter_idx = jnp.where(assign >= 0, assign, R)
+        scatter_idx = jnp.where(assign_i >= 0, assign_i, R)
         gt_classes_i = jnp.full((R,), num_classes, jnp.int32).at[
             scatter_idx
         ].set(classes.astype(jnp.int32), mode="drop")
-        safe = jnp.where(assign >= 0, assign, 0)
+        safe = jnp.where(assign_i >= 0, assign_i, 0)
         tgt = tf.get_deltas(shifts[safe], boxes)
         gt_deltas_i = jnp.zeros((R, 4), jnp.float32).at[scatter_idx].set(
             tgt, mode="drop")
         return gt_classes_i, gt_deltas_i
 
-    return jax.lax.map(
-        per_image,
-        (gt.boxes, gt.classes, gt.valid, pred_logits, pred_deltas),
-    )
+    return jax.lax.map(targets_fn, (assign, gt.boxes, gt.classes))
 
 
 def poto_losses(cfg, gt_classes, gt_deltas, pred_logits, pred_deltas):

@@ -54,8 +54,37 @@ def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale):
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def masked_attention_pallas(q, k, v, key_valid, scale: float):
+    """Pallas fused forward with a recompute backward (custom_vjp): the
+    forward never materializes the (N, N) attention matrix in HBM; the
+    backward re-derives it via jax.vjp of the jnp reference (cheap at LGD
+    teacher sizes, exact)."""
+    return _masked_attention_pallas_impl(q, k, v, key_valid, scale)
+
+
+def _attn_fwd(q, k, v, key_valid, scale):
+    out = _masked_attention_pallas_impl(q, k, v, key_valid, scale)
+    return out, (q, k, v, key_valid)
+
+
+def _attn_bwd(scale, res, g):
+    q, k, v, key_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: masked_attention_reference(q_, k_, v_, key_valid,
+                                                      scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    import numpy as np
+
+    dvalid = np.zeros(key_valid.shape, jax.dtypes.float0)
+    return dq, dk, dv, dvalid
+
+
+masked_attention_pallas.defvjp(_attn_fwd, _attn_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _masked_attention_pallas_impl(q, k, v, key_valid, scale: float):
     """Pallas kernel: grid over (B*H); each step holds one head's Q/K/V in
     VMEM. Sized for the LGD teacher (N <= a few hundred tokens)."""
     B, H, Nq, D = q.shape
