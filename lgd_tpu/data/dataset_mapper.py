@@ -72,6 +72,54 @@ def crop_and_resize_mask(polygons, box, size: int = 7) -> np.ndarray:
     return rasterize_polygons(scaled, size, size).astype(np.float32).reshape(-1)
 
 
+def mask_index_encode(polygons_per_inst, classes, h: int, w: int
+                      ) -> np.ndarray:
+    """Per-pixel class-index map from instance polygons (the reference's
+    label_map extra, dataset_mapper.py:58-79; overlaps resolved by paint
+    order like the reference)."""
+    out = np.zeros((h, w), np.int64)
+    for polys, c in zip(polygons_per_inst, classes):
+        m = rasterize_polygons(polys, h, w).astype(bool)
+        out[m] = int(c)
+    return out
+
+
+def box_color_encode(boxes, classes, h: int, w: int, num_classes: int,
+                     rng: np.random.RandomState, target_noise: bool = True
+                     ) -> np.ndarray:
+    """Per-class diamond-distance box rendering (the reference's box_map
+    extra, dataset_mapper.py:81-110; LOAD_BOXMAP flag). Returns
+    (num_classes, h, w) float32."""
+    out = np.zeros((num_classes, h, w), np.float32)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    for (x0, y0, x1, y1), label in zip(boxes, classes - 1):
+        bw, bh = max(x1 - x0, 1e-3), max(y1 - y0, 1e-3)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        color = 1 - np.maximum(np.abs(xs - cx) / bw, np.abs(ys - cy) / bh)
+        inside = color >= 0.5
+        if target_noise:
+            color = color * inside * min(rng.rand() * 2, 1.0)
+        else:
+            color = inside.astype(np.float32)
+        out[int(label)] = np.maximum(out[int(label)], color)
+    return out
+
+
+def box_mask_encode(boxes, h: int, w: int) -> np.ndarray:
+    """Union of in-box diamond regions (the reference's box_mask extra,
+    dataset_mapper.py:113-133; LOAD_BOX_MASK flag)."""
+    out = np.zeros((h, w), bool)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    for x0, y0, x1, y1 in boxes:
+        bw, bh = max(x1 - x0, 1e-3), max(y1 - y0, 1e-3)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        color = 1 - np.maximum(np.abs(xs - cx) / bw, np.abs(ys - cy) / bh)
+        out |= color >= 0.5
+    return out
+
+
 class DatasetMapper:
     def __init__(self, cfg, is_train: bool = True):
         self.is_train = is_train
@@ -81,6 +129,9 @@ class DatasetMapper:
         self.segmask_stride = cfg.TPU.SEGMASK_STRIDE
         self.filter_empty = cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
         self.stronger_augs = cfg.MODEL.STRONGER_AUGS
+        self.load_boxmap = cfg.MODEL.LOAD_BOXMAP
+        self.load_box_mask = cfg.MODEL.LOAD_BOX_MASK
+        self.num_classes = cfg.NUM_CLASSES
 
     def __call__(self, dataset_dict: Dict, rng: np.random.RandomState
                  ) -> Optional[Dict]:
@@ -129,6 +180,11 @@ class DatasetMapper:
             from .transforms import strong_augment
 
             sample["extra_image"] = strong_augment(image, rng)
+        if self.load_boxmap:
+            sample["box_map"] = box_color_encode(
+                boxes, classes, h, w, self.num_classes, rng)
+        if self.load_box_mask:
+            sample["box_mask"] = box_mask_encode(boxes, h, w)
         if self.load_labelmap:
             sample["masks49"] = (
                 np.stack([

@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, replicated
 from ..solver.optim import build_solver
-from ..structures import BatchedInstances
+
 
 
 @struct.dataclass
@@ -91,7 +91,6 @@ def make_train_step(cfg, model) -> Tuple[Callable, Callable]:
             loss_normalizer=jnp.asarray(100.0, jnp.float32),
         )
 
-    static_gates = {"cache": None}
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         step = state.step

@@ -15,7 +15,7 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from ..data.loader import TestLoader, TrainLoader

@@ -23,7 +23,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import FrozenBatchNorm, get_norm
+from ..layers import get_norm
 from ...ops.deform_conv import deform_conv2d_params
 
 _STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),

@@ -14,14 +14,13 @@ which XLA fuses.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.normalization import layer_norm as _ln_free  # noqa: F401
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:

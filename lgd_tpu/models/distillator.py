@@ -18,7 +18,7 @@ serves all phases: x_eff = stop_grad(x) + flag * (x - stop_grad(x)).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

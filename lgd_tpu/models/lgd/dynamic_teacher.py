@@ -24,13 +24,13 @@ Interact patterns ('stuGuided' default, plus 'labelGuided', 'student_fill',
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.normalization import group_norm, layer_norm
+from ...ops.normalization import group_norm
 from ...structures import BatchedInstances
 from .label_encoder import LabelEncoder, TokenMLP, encode_descriptors
 

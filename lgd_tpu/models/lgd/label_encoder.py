@@ -28,7 +28,7 @@ all-zero one-hot and all-ones mask49.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ SURVEY.md §2.3). Two deltas from the CUDA op, both shape-static by design:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ ride ICI. Multi-host scaling uses the same mesh spanning
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

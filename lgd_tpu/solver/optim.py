@@ -18,12 +18,11 @@ torch skipping params whose ``.grad is None``.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, NamedTuple
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 # ---------------------------------------------------------------------------
