@@ -44,13 +44,17 @@ def train_canvas_shapes(cfg):
     return (short, long_), (long_, short)  # landscape, portrait
 
 
-def eval_canvas_shape(cfg):
+def eval_canvas_shapes(cfg):
+    """(landscape, portrait) eval canvases: shortest edge MIN_SIZE_TEST,
+    longest capped at MAX_SIZE_TEST — two compiled programs instead of one
+    square max-canvas (halves eval compute for typical images)."""
     d = cfg.TPU.PAD_SIZE_DIVISIBILITY
     if cfg.TPU.EVAL_CANVAS:
-        h, w = cfg.TPU.EVAL_CANVAS
-        return (int(h), int(w))
+        h, w = (int(x) for x in cfg.TPU.EVAL_CANVAS)
+        return (h, w), (w, h)
+    short = _ceil_to(cfg.INPUT.MIN_SIZE_TEST, d)
     long_ = _ceil_to(cfg.INPUT.MAX_SIZE_TEST, d)
-    return (long_, long_)
+    return (short, long_), (long_, short)
 
 
 class TrainingSampler:
@@ -284,7 +288,7 @@ class TestLoader:
             [dataset_name], filter_empty=False
         )
         self.mapper = mapper or DatasetMapper(cfg, is_train=False)
-        self.canvas = eval_canvas_shape(cfg)
+        self.canvas_landscape, self.canvas_portrait = eval_canvas_shapes(cfg)
         self.max_instances = cfg.TPU.MAX_INSTANCES
         self.segmask_stride = (
             cfg.TPU.SEGMASK_STRIDE
@@ -300,5 +304,7 @@ class TestLoader:
             s = self.mapper(d, rng)
             if s is None:
                 continue
-            yield pack_batch([s], self.canvas, self.max_instances,
+            h, w = s["image"].shape[:2]
+            canvas = self.canvas_landscape if w >= h else self.canvas_portrait
+            yield pack_batch([s], canvas, self.max_instances,
                              self.segmask_stride)
