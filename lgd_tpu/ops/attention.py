@@ -117,6 +117,18 @@ def _masked_attention_pallas_impl(q, k, v, key_valid, scale: float):
     return out.reshape(B, H, Nq, D)
 
 
+_FORCED_IMPL = None  # None = auto; 'pallas' | 'reference'
+
+
+def set_attention_impl(impl):
+    """Force the attention implementation ('pallas'/'reference'/None=auto).
+    Needed when the computation targets a device class different from the
+    process default backend (e.g. CPU-mesh dry-runs in a TPU process)."""
+    global _FORCED_IMPL
+    assert impl in (None, "pallas", "reference"), impl
+    _FORCED_IMPL = impl
+
+
 @functools.lru_cache(None)
 def _on_tpu() -> bool:
     try:
@@ -127,7 +139,8 @@ def _on_tpu() -> bool:
 
 def masked_attention(q, k, v, key_valid, scale: float):
     """Dispatch: Pallas on TPU backends, jnp reference elsewhere (the choice
-    is trace-time static — backend is a process-level property)."""
-    if _on_tpu():
+    is trace-time static — backend is a process-level property; use
+    set_attention_impl to override)."""
+    if _FORCED_IMPL == "pallas" or (_FORCED_IMPL is None and _on_tpu()):
         return masked_attention_pallas(q, k, v, key_valid, scale)
     return masked_attention_reference(q, k, v, key_valid, scale)
