@@ -55,7 +55,8 @@ class BottleneckBlock(nn.Module):
                         kernel_dilation=(dil, dil),
                         feature_group_count=groups, use_bias=False,
                         dtype=self.dtype, name=name)(x)
-            norm = get_norm(self.norm, feat, dtype=self.dtype)
+            norm = get_norm(self.norm, feat, dtype=self.dtype,
+                            name=f"{name}_norm")
             return norm(x) if norm is not None else x
 
         shortcut = x
@@ -119,7 +120,8 @@ class DeformConvUnit(nn.Module):
             x, weight, offsets, mask,
             stride=self.strides, dilation=self.dilation, groups=self.groups,
             dtype=self.dtype)
-        norm = get_norm(self.norm, self.features, dtype=self.dtype)
+        norm = get_norm(self.norm, self.features, dtype=self.dtype,
+                        name="norm")
         return norm(out) if norm is not None else out
 
 
@@ -147,7 +149,8 @@ class ResNet(nn.Module):
         x = nn.Conv(self.stem_out_channels, (7, 7), strides=(2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype, name="stem_conv1")(x)
-        norm = get_norm(self.norm, self.stem_out_channels, dtype=self.dtype)
+        norm = get_norm(self.norm, self.stem_out_channels, dtype=self.dtype,
+                        name="stem_conv1_norm")
         if norm is not None:
             x = norm(x)
         x = nn.relu(x)

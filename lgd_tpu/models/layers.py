@@ -52,13 +52,14 @@ class GroupNorm32(nn.Module):
         )(x).astype(x.dtype)
 
 
-def get_norm(norm: str, features: int, dtype=jnp.float32) -> Optional[nn.Module]:
+def get_norm(norm: str, features: int, dtype=jnp.float32,
+             name: Optional[str] = None) -> Optional[nn.Module]:
     if norm in (None, "", "none"):
         return None
     if norm == "FrozenBN":
-        return FrozenBatchNorm(features, dtype=dtype)
+        return FrozenBatchNorm(features, dtype=dtype, name=name)
     if norm == "GN":
-        return GroupNorm32(features, dtype=dtype)
+        return GroupNorm32(features, dtype=dtype, name=name)
     raise ValueError(f"Unknown norm: {norm}")
 
 

@@ -88,31 +88,29 @@ def convert_resnet_state(raw: Dict[str, np.ndarray]) -> Dict:
             node = node.setdefault(p, {})
         node[path[-1]] = arr
 
+    # our module layout: params[stem_conv1|res{s}_{b}/{convX,shortcut}]/kernel
+    # and frozen[...{convX}_norm]/{scale,bias,mean,var}
     for k, v in named.items():
         parts = k.split(".")
         if parts[0] == "stem" and len(parts) >= 2:
-            mod = "stem_conv1"
-            rest = parts[2:] if parts[1] == "conv1" else parts[1:]
+            block = None
+            conv_name = "stem_conv1"
+            tail = parts[2:]  # after 'stem.conv1'
         elif parts[0].startswith("res") and len(parts) >= 3:
-            mod = f"{parts[0]}_{parts[1]}"
-            rest = parts[2:]
+            block = f"{parts[0]}_{parts[1]}"
+            conv_name = parts[2]
+            tail = parts[3:]
         else:
             continue
-        if not rest:
-            continue
-        conv_name = None if parts[0] == "stem" else rest[0]
-        tail = rest if parts[0] == "stem" else rest[1:]
-        if tail and tail[0] == "norm":
+        prefix = [block] if block else []
+        if tail and tail[0] == "norm" and len(tail) >= 2:
             stat = {"weight": "scale", "bias": "bias",
                     "running_mean": "mean", "running_var": "var"}[tail[1]]
-            path = ([mod] + ([conv_name] if conv_name else []) +
-                    ["FrozenBatchNorm_0", stat])
-            put(frozen, path, v.astype(np.float32))
+            put(frozen, prefix + [f"{conv_name}_norm", stat],
+                v.astype(np.float32))
         elif tail and tail[0] == "weight" and v.ndim == 4:
             w = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
-            path = ([mod] + ([conv_name] if conv_name else []) +
-                    ["conv", "kernel"])
-            put(params, path, w.astype(np.float32))
+            put(params, prefix + [conv_name, "kernel"], w.astype(np.float32))
     return {"params": params, "frozen": frozen}
 
 

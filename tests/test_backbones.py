@@ -102,6 +102,7 @@ def test_swin_weight_converter_mapping():
 def test_resnet_pkl_converter_mapping():
     from lgd_tpu.utils.weight_convert import convert_resnet_state
 
+    # raw caffe2-style ImageNet-pkl names, handled natively by the converter
     raw = {
         "conv1_w": np.zeros((64, 3, 7, 7)),
         "res_conv1_bn_s": np.ones(64),
@@ -111,11 +112,11 @@ def test_resnet_pkl_converter_mapping():
         "res2_0_branch1_w": np.zeros((256, 64, 1, 1)),
         "fc1000_w": np.zeros((1000, 2048)),  # classifier -> dropped
     }
-    # caffe2-style: *_w/_b and *_bn_s names are normalized first
-    raw = {k.replace("_bn_s", "_bn.weight").replace("_bn_b", "_bn.bias"): v
-           for k, v in raw.items()}
     conv = convert_resnet_state(raw)
     p = conv["params"]
-    assert p["stem_conv1"]["conv"]["kernel"].shape == (7, 7, 3, 64)
-    assert p["res2_0"]["conv1"]["conv"]["kernel"].shape == (1, 1, 64, 64)
-    assert p["res2_0"]["shortcut"]["conv"]["kernel"].shape == (1, 1, 64, 256)
+    assert p["stem_conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert p["res2_0"]["conv1"]["kernel"].shape == (1, 1, 64, 64)
+    assert p["res2_0"]["shortcut"]["kernel"].shape == (1, 1, 64, 256)
+    f = conv["frozen"]
+    assert "scale" in f["stem_conv1_norm"]
+    assert "bias" in f["res2_0"]["conv1_norm"]
