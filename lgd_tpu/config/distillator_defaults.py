@@ -132,9 +132,12 @@ def build_fcos(cfg: CN) -> CN:
     cfg.MODEL.NMS_TYPE = "normal"
     cfg.MODEL.POTO = CN(dict(ALPHA=0.8, CENTER_SAMPLING_RADIUS=1.5,
                              REG_WEIGHT=2.0,
-                             # lgd_tpu extension: 'greedy' (on-device,
-                             # sync-free) or 'hungarian' (exact scipy via
-                             # host callback, the reference's poto.py:359)
-                             ASSIGNMENT="greedy"))
+                             # lgd_tpu extension: 'hungarian' (default —
+                             # exact scipy linear_sum_assignment via host
+                             # callback, matching the reference's
+                             # poto.py:359) or 'greedy' (on-device,
+                             # sync-free approximation; opt in for step
+                             # time when crowding is light)
+                             ASSIGNMENT="hungarian"))
     cfg.MODEL.ATSS = CN(dict(ANCHOR_SCALE=8, TOPK=9))
     return cfg

@@ -56,10 +56,13 @@ def rasterize_polygons(polygons: List[np.ndarray], h: int, w: int
     return mask
 
 
-def crop_and_resize_mask(polygons, box, size: int = 7) -> np.ndarray:
-    """GT mask cropped to its box and resized to size x size, binarized —
-    detectron2 PolygonMasks.crop_and_resize as used for the 49-d descriptor
-    tail (label_encoder.py:61-63)."""
+def crop_and_resize_mask(polygons, box, size: int = 7,
+                         flatten: bool = True) -> np.ndarray:
+    """GT mask cropped to ``box`` and resized to size x size, binarized —
+    detectron2 PolygonMasks.crop_and_resize (polygon shift+scale into the
+    box frame, then rasterize), used for the 49-d descriptor tail
+    (label_encoder.py:61-63) and, at TPU.MASK_CROP_SIZE, for the exact
+    GT-frame crops the mask head resamples its targets from."""
     x1, y1, x2, y2 = box
     w = max(x2 - x1, 1e-2)
     h = max(y2 - y1, 1e-2)
@@ -69,7 +72,8 @@ def crop_and_resize_mask(polygons, box, size: int = 7) -> np.ndarray:
         q[:, 0] = (q[:, 0] - x1) * (size / w)
         q[:, 1] = (q[:, 1] - y1) * (size / h)
         scaled.append(q.reshape(-1))
-    return rasterize_polygons(scaled, size, size).astype(np.float32).reshape(-1)
+    m = rasterize_polygons(scaled, size, size).astype(np.float32)
+    return m.reshape(-1) if flatten else m
 
 
 def mask_index_encode(polygons_per_inst, classes, h: int, w: int
@@ -127,6 +131,7 @@ class DatasetMapper:
         self.use_instance_mask = cfg.MODEL.MASK_ON
         self.load_labelmap = cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP
         self.segmask_stride = cfg.TPU.SEGMASK_STRIDE
+        self.mask_crop_size = cfg.TPU.MASK_CROP_SIZE
         self.filter_empty = cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
         self.stronger_augs = cfg.MODEL.STRONGER_AUGS
         self.load_boxmap = cfg.MODEL.LOAD_BOXMAP
@@ -192,4 +197,17 @@ class DatasetMapper:
                 ]) if len(boxes) else np.zeros((0, 49), np.float32)
             )
             sample["polygons"] = polygons
+        if self.use_instance_mask and self.is_train:
+            # exact GT-box-frame crops at 2x the mask-head target res; the
+            # device resamples these onto each proposal's 28x28 grid
+            # (detectron2 crop_and_resize(proposal_boxes, 28) equivalent,
+            # sub-pixel at typical object scales)
+            G = self.mask_crop_size
+            sample["mask_crops"] = (
+                np.stack([
+                    crop_and_resize_mask(p, b, size=G, flatten=False)
+                    for p, b in zip(polygons, boxes)
+                ]).astype(np.uint8) if len(boxes)
+                else np.zeros((0, G, G), np.uint8)
+            )
         return sample

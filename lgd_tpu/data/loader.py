@@ -143,6 +143,7 @@ def pack_batch(samples: List[Dict], canvas_hw, max_instances: int,
     images = np.zeros((B, H, W, 3), np.float32)
     sizes = np.zeros((B, 2), np.int32)
     boxes_list, classes_list, masks49_list, bitmask_list = [], [], [], []
+    mask_crops_list = []
     meta = []
     for i, s in enumerate(samples):
         img = s["image"]
@@ -155,6 +156,7 @@ def pack_batch(samples: List[Dict], canvas_hw, max_instances: int,
         boxes_list.append(s["boxes"])
         classes_list.append(s["classes"])
         masks49_list.append(s.get("masks49"))
+        mask_crops_list.append(s.get("mask_crops"))
         if segmask_stride is not None:
             hs, ws = H // segmask_stride, W // segmask_stride
             polys = s.get("polygons") or []
@@ -177,10 +179,12 @@ def pack_batch(samples: List[Dict], canvas_hw, max_instances: int,
         })
 
     use_masks = any(m is not None for m in masks49_list)
+    use_crops = any(m is not None for m in mask_crops_list)
     gt = BatchedInstances.from_lists(
         boxes_list, classes_list, capacity=max_instances,
         masks49_list=masks49_list if use_masks else None,
         bitmasks_list=bitmask_list if segmask_stride is not None else None,
+        mask_crops_list=mask_crops_list if use_crops else None,
     )
     import jax.numpy as jnp
 
@@ -279,15 +283,25 @@ class TrainLoader:
 
 
 class TestLoader:
-    """Sequential eval loader: one padded batch per image (batch=1 like the
-    reference test loader, utils/build.py:369-412)."""
+    """Eval loader: padded batches of ``batch_size`` images grouped by canvas
+    bucket (landscape/portrait), dataset sharded ``rank::world_size``.
 
-    def __init__(self, cfg, dataset_name: str, mapper=None):
+    batch_size=1 reproduces the reference test loader exactly
+    (utils/build.py:369-412, batch=1 InferenceSampler); batch_size=n_devices
+    feeds a data-sharded inference jit so eval parallelizes over the mesh
+    (the reference parallelized eval over its 8 GPUs the same way). Partial
+    batches are padded with dummy slots whose meta is None — consumers must
+    skip those."""
+
+    def __init__(self, cfg, dataset_name: str, mapper=None,
+                 batch_size: int = 1, rank: int = 0, world_size: int = 1):
         self.cfg = cfg
-        self.dataset_dicts = get_detection_dataset_dicts(
-            [dataset_name], filter_empty=False
-        )
+        dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
+        # InferenceSampler semantics: contiguous-ish per-rank split via
+        # strided indexing (reference utils/build.py:369-412)
+        self.dataset_dicts = dicts[rank::world_size]
         self.mapper = mapper or DatasetMapper(cfg, is_train=False)
+        self.batch_size = batch_size
         self.canvas_landscape, self.canvas_portrait = eval_canvas_shapes(cfg)
         self.max_instances = cfg.TPU.MAX_INSTANCES
         self.segmask_stride = (
@@ -298,13 +312,38 @@ class TestLoader:
     def __len__(self):
         return len(self.dataset_dicts)
 
+    def _dummy_sample(self):
+        return {
+            "image": np.zeros((8, 8, 3), np.float32),
+            "boxes": np.zeros((0, 4), np.float32),
+            "classes": np.zeros((0,), np.int64),
+            "image_id": None,
+        }
+
+    def _flush(self, bucket_samples, canvas):
+        n_real = len(bucket_samples)
+        while len(bucket_samples) < self.batch_size:
+            bucket_samples.append(self._dummy_sample())
+        batch = pack_batch(bucket_samples, canvas, self.max_instances,
+                           self.segmask_stride)
+        for i in range(n_real, self.batch_size):
+            batch["_meta"][i] = None  # padding slot
+        return batch
+
     def __iter__(self):
         rng = np.random.RandomState(0)
+        buckets = {0: [], 1: []}
+        canvases = {0: self.canvas_landscape, 1: self.canvas_portrait}
         for d in self.dataset_dicts:
             s = self.mapper(d, rng)
             if s is None:
                 continue
             h, w = s["image"].shape[:2]
-            canvas = self.canvas_landscape if w >= h else self.canvas_portrait
-            yield pack_batch([s], canvas, self.max_instances,
-                             self.segmask_stride)
+            b = 0 if w >= h else 1
+            buckets[b].append(s)
+            if len(buckets[b]) == self.batch_size:
+                yield self._flush(buckets[b], canvases[b])
+                buckets[b] = []
+        for b in (0, 1):
+            if buckets[b]:
+                yield self._flush(buckets[b], canvases[b])

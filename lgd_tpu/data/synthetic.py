@@ -128,6 +128,11 @@ def make_synthetic_batch(
             if with_masks else None
         ),
         bitmasks_list=bitmask_list if with_masks else None,
+        # synthetic objects fill their GT box -> exact crop = all ones
+        mask_crops_list=(
+            [np.ones((len(b), 56, 56), np.uint8) for b in boxes_list]
+            if with_masks else None
+        ),
     )
     import jax.numpy as jnp
 

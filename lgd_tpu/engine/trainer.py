@@ -37,29 +37,50 @@ def _strip_meta(batch):
     return {k: v for k, v in batch.items() if not k.startswith("_")}
 
 
-def do_test(cfg, model, variables, eval_teacher: bool = False) -> Dict:
+def do_test(cfg, model, variables, eval_teacher: bool = False,
+            batch_size: Optional[int] = None) -> Dict:
     """COCO evaluation of the current parameters; optionally routes teacher
-    features through the student head (train.py:223-225 EVAL_TEACHER)."""
+    features through the student head (train.py:223-225 EVAL_TEACHER).
+
+    Data-parallel by construction: images are batched ``batch_size`` (default
+    = device count) per step and the inference jit shards the batch over a
+    'data' mesh; across processes the dataset is pre-sharded rank::world
+    (reference InferenceSampler, utils/build.py:369-412) and detections are
+    allgathered before scoring."""
+    from ..parallel.mesh import allgather_object
+
+    rank, world = jax.process_index(), jax.process_count()
+    n_dev = len(jax.devices())
+    if batch_size is None:
+        batch_size = max(1, n_dev // world) if world > 1 else n_dev
+    mesh = make_mesh(("data",), devices=jax.devices()[: batch_size * world])
+    bs, rep = (jax.sharding.NamedSharding(mesh, p) for p in
+               (jax.sharding.PartitionSpec("data"),
+                jax.sharding.PartitionSpec()))
+
     results = {}
     for dataset_name in cfg.DATASETS.TEST:
-        loader = TestLoader(cfg, dataset_name)
+        loader = TestLoader(cfg, dataset_name, batch_size=batch_size,
+                            rank=rank, world_size=world)
         evaluator = COCOEvaluator(dataset_name,
                                   num_classes=cfg.NUM_CLASSES)
         evaluator.reset()
 
-        @functools.partial(jax.jit, static_argnums=(4,))
+        @functools.partial(jax.jit, static_argnums=(4,),
+                           in_shardings=(rep, bs, bs, bs),
+                           out_shardings=rep)
         def infer(variables, image, image_size, gt, eval_teacher):
             return model.apply(variables, image, image_size, gt,
                                eval_teacher, method=model.inference)
 
         total = len(loader)
-        num_warmup = min(5, total - 1)
-        t_start = time.perf_counter()
+        num_warmup = min(5, max(total // batch_size - 1, 0))
         compute_time = 0.0
+        n_timed_imgs = 0
         for idx, batch in enumerate(loader):
             if idx == num_warmup:
-                t_start = time.perf_counter()
                 compute_time = 0.0
+                n_timed_imgs = 0
             t0 = time.perf_counter()
             out = infer(variables, batch["image"], batch["image_size"],
                         batch["gt"], eval_teacher)
@@ -67,29 +88,40 @@ def do_test(cfg, model, variables, eval_teacher: bool = False) -> Dict:
             compute_time += time.perf_counter() - t0
             dets, mask_probs = out if isinstance(out, tuple) else (out, None)
 
-            meta = batch["_meta"][0]
-            ih, iw = meta["input_hw"]
-            sx = meta["width"] / iw
-            sy = meta["height"] / ih
-            valid = np.asarray(dets.valid[0])
-            boxes = np.asarray(dets.boxes[0])[valid]
-            boxes = boxes * np.asarray([sx, sy, sx, sy])
-            boxes[:, 0::2] = boxes[:, 0::2].clip(0, meta["width"])
-            boxes[:, 1::2] = boxes[:, 1::2].clip(0, meta["height"])
-            evaluator.process(
-                meta["image_id"], boxes,
-                np.asarray(dets.scores[0])[valid],
-                np.asarray(dets.classes[0])[valid],
-                masks=(np.asarray(mask_probs[0])[valid]
-                       if mask_probs is not None else None),
-            )
-        n_timed = max(total - num_warmup, 1)
+            for i, meta in enumerate(batch["_meta"]):
+                if meta is None:  # padded slot in the final partial batch
+                    continue
+                n_timed_imgs += 1
+                ih, iw = meta["input_hw"]
+                sx = meta["width"] / iw
+                sy = meta["height"] / ih
+                valid = np.asarray(dets.valid[i])
+                boxes = np.asarray(dets.boxes[i])[valid]
+                boxes = boxes * np.asarray([sx, sy, sx, sy])
+                boxes[:, 0::2] = boxes[:, 0::2].clip(0, meta["width"])
+                boxes[:, 1::2] = boxes[:, 1::2].clip(0, meta["height"])
+                evaluator.process(
+                    meta["image_id"], boxes,
+                    np.asarray(dets.scores[i])[valid],
+                    np.asarray(dets.classes[i])[valid],
+                    masks=(np.asarray(mask_probs[i])[valid]
+                           if mask_probs is not None else None),
+                )
         logger.info(
-            "Total inference pure compute time: %.6f s / img (%d imgs)",
-            compute_time / n_timed, total,
+            "Total inference pure compute time: %.6f s / img (%d imgs, "
+            "batch=%d)", compute_time / max(n_timed_imgs, 1), total,
+            batch_size,
         )
+        if world > 1:
+            states = allgather_object(evaluator.detections_state())
+            for r, st in enumerate(states):
+                if r != rank:
+                    evaluator.merge_detections(st)
         iou_types = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
-        results[dataset_name] = evaluator.evaluate(iou_types)
+        dump = (f"{cfg.OUTPUT_DIR}/inference/{dataset_name}"
+                if cfg.OUTPUT_DIR and rank == 0 else None)
+        results[dataset_name] = evaluator.evaluate(iou_types,
+                                                   output_dir=dump)
         logger.info("Results[%s]: %s", dataset_name, results[dataset_name])
     if len(results) == 1:
         return next(iter(results.values()))
@@ -102,16 +134,26 @@ def do_train(cfg, model, resume: bool = False,
     phase schedule compiled into the step."""
     # mesh over the largest device count dividing the global batch
     # (the reference asserts divisibility, utils/build.py:282-285)
-    n_dev = len(jax.devices())
-    while cfg.SOLVER.IMS_PER_BATCH % n_dev:
-        n_dev -= 1
-    if n_dev != len(jax.devices()):
-        logger.warning(
-            "IMS_PER_BATCH=%d not divisible by %d devices; using %d",
-            cfg.SOLVER.IMS_PER_BATCH, len(jax.devices()), n_dev)
+    rank, world = jax.process_index(), jax.process_count()
+    if world > 1:
+        # multi-process: the mesh must span every device of every process
+        assert cfg.SOLVER.IMS_PER_BATCH % len(jax.devices()) == 0, (
+            f"IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH} must divide over "
+            f"{len(jax.devices())} global devices")
+        n_dev = len(jax.devices())
+    else:
+        n_dev = len(jax.devices())
+        while cfg.SOLVER.IMS_PER_BATCH % n_dev:
+            n_dev -= 1
+        if n_dev != len(jax.devices()):
+            logger.warning(
+                "IMS_PER_BATCH=%d not divisible by %d devices; using %d",
+                cfg.SOLVER.IMS_PER_BATCH, len(jax.devices()), n_dev)
     mesh = make_mesh(("data",), devices=jax.devices()[:n_dev])
     if loader is None:
-        loader = TrainLoader(cfg, world_size=1)  # single-host: full batch
+        # per-rank sampler shard, local batch = IMS_PER_BATCH / world
+        # (reference TrainingSampler sharding, utils/build.py:351-352)
+        loader = TrainLoader(cfg, rank=rank, world_size=world)
 
     init_state, train_step = make_train_step(cfg, model)
 
@@ -147,11 +189,22 @@ def do_train(cfg, model, resume: bool = False,
 
     logger.info("Starting training from iteration %d", start_iter)
     batch = first
+    prev_total = None  # (iteration, device scalar) of the previous step
     for iteration in range(start_iter, max_iter):
         storage.iter = iteration
         if prof_dir and iteration == prof_start:
             jax.profiler.start_trace(prof_dir)
         state, metrics = jstep(state, shard_batch(_strip_meta(batch), mesh))
+        # every-iteration divergence guard (reference asserts each step,
+        # train.py:194). Checking the PREVIOUS step's total — already
+        # computed by the time this step was dispatched — keeps the device
+        # pipeline full while still catching NaN within one iteration,
+        # before a second optimizer update can compound the corruption.
+        if prev_total is not None:
+            t = float(prev_total[1])
+            assert np.isfinite(t), (
+                f"Loss diverged at iteration {prev_total[0]}: total={t}")
+        prev_total = (iteration, metrics["total_loss"])
         if prof_dir and iteration == prof_stop:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()

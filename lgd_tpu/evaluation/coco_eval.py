@@ -67,6 +67,16 @@ class COCOEvaluator:
         self.num_classes = num_classes
         self._gt = defaultdict(lambda: defaultdict(list))  # img -> cat -> list
         self._img_ids = set()
+        self._class_names = None
+        self._contig_to_cat_id = None  # contiguous idx -> COCO category_id
+        if dataset_name is not None:
+            from ..data.catalog import MetadataCatalog
+
+            meta = MetadataCatalog.get(dataset_name)
+            self._class_names = meta.get("thing_classes")
+            id_map = meta.get("thing_dataset_id_to_contiguous_id")
+            if id_map:
+                self._contig_to_cat_id = {v: k for k, v in id_map.items()}
         if gt_dataset is None and dataset_name is not None:
             from ..data.catalog import DatasetCatalog
 
@@ -89,6 +99,19 @@ class COCOEvaluator:
 
     def reset(self):
         self._dets = defaultdict(lambda: defaultdict(list))
+        self._match_cache = {}
+
+    # -- multi-host merge (reference: detectron2 comm.gather inside
+    # COCOEvaluator.evaluate; here do_test allgathers these states) --------
+
+    def detections_state(self):
+        """Picklable detection store for cross-process gathering."""
+        return {img: dict(cats) for img, cats in self._dets.items()}
+
+    def merge_detections(self, state):
+        for img, cats in state.items():
+            for cat, dets in cats.items():
+                self._dets[img][cat].extend(dets)
 
     def process(self, image_id, boxes_xyxy, scores, classes, masks=None):
         """Add one image's detections (in original-image coordinates).
@@ -196,7 +219,12 @@ class COCOEvaluator:
         n_valid = int((~gt_ignore).sum())
         return scores, det_matched, det_ignored, n_valid
 
-    def _accumulate(self, area_rng_name="all", iou_type="bbox"):
+    def _accumulate(self, area_rng_name="all", iou_type="bbox",
+                    max_dets: int = MAX_DETS):
+        """AP/AR per (IoU thr, category). ``max_dets`` truncates each
+        image-category's score-sorted detections post-matching — identical
+        to matching only the top-k (greedy matching of det i never depends
+        on det j>i), exactly pycocotools' accumulate() maxDets handling."""
         area_rng = AREA_RANGES[area_rng_name]
         T = len(IOU_THRS)
         ap_per_cat = np.full((T, self.num_classes), np.nan)
@@ -208,8 +236,15 @@ class COCOEvaluator:
             for img_id in img_ids:
                 if cat not in self._gt[img_id] and cat not in self._dets[img_id]:
                     continue
-                s, m, ig, nv = self._evaluate_img_cat(img_id, cat, area_rng,
-                                                      iou_type)
+                key = (img_id, cat, area_rng_name, iou_type)
+                if key in self._match_cache:
+                    s, m, ig, nv = self._match_cache[key]
+                else:
+                    s, m, ig, nv = self._evaluate_img_cat(
+                        img_id, cat, area_rng, iou_type)
+                    self._match_cache[key] = (s, m, ig, nv)
+                if max_dets < len(s):
+                    s, m, ig = s[:max_dets], m[:, :max_dets], ig[:, :max_dets]
                 all_scores.append(s)
                 all_matched.append(m)
                 all_ignored.append(ig)
@@ -241,24 +276,80 @@ class COCOEvaluator:
         return ap_per_cat, ar_per_cat
 
     def _evaluate_type(self, iou_type: str) -> Dict[str, float]:
+        """Full COCO summarize() metric family: AP/AP50/AP75/APs/m/l,
+        AR@{1,10,100} and ARs/m/l (at maxDets=100), plus per-category AP
+        ('AP-<class>' keys, detectron2 COCOEvaluator behavior)."""
         ap_all, ar_all = self._accumulate("all", iou_type)
         nan = lambda a: np.all(np.isnan(a))
+        mean = lambda a: float(np.nanmean(a) * 100) if not nan(a) else 0.0
         results = {
-            "AP": float(np.nanmean(ap_all) * 100) if not nan(ap_all) else 0.0,
-            "AP50": float(np.nanmean(ap_all[0]) * 100) if not nan(ap_all[0]) else 0.0,
-            "AP75": float(np.nanmean(ap_all[5]) * 100) if not nan(ap_all[5]) else 0.0,
-            "AR": float(np.nanmean(ar_all) * 100) if not nan(ar_all) else 0.0,
+            "AP": mean(ap_all),
+            "AP50": mean(ap_all[0]),
+            "AP75": mean(ap_all[5]),
+            "AR@100": mean(ar_all),
+            "AR": mean(ar_all),  # back-compat alias of AR@100
         }
+        for k in (1, 10):
+            _, ar_k = self._accumulate("all", iou_type, max_dets=k)
+            results[f"AR@{k}"] = mean(ar_k)
         for name in ("small", "medium", "large"):
-            ap, _ = self._accumulate(name, iou_type)
+            ap, ar = self._accumulate(name, iou_type)
             results["AP" + name[0]] = (
                 float(np.nanmean(ap) * 100) if not nan(ap) else float("nan")
             )
+            results["AR" + name[0]] = (
+                float(np.nanmean(ar) * 100) if not nan(ar) else float("nan")
+            )
+        per_cat = np.nanmean(ap_all, axis=0)  # (num_classes,)
+        for c in range(self.num_classes):
+            if np.isnan(per_cat[c]):
+                continue
+            cname = (self._class_names[c]
+                     if self._class_names and c < len(self._class_names)
+                     else str(c))
+            results[f"AP-{cname}"] = float(per_cat[c] * 100)
         return results
 
-    def evaluate(self, iou_types=("bbox",)) -> Dict[str, Dict[str, float]]:
+    def coco_results_list(self) -> List[dict]:
+        """Detections in official COCO results-json schema (XYWH boxes,
+        dataset category ids) — the reference COCOEvaluator's
+        coco_instances_results.json payload, re-scorable by pycocotools."""
+        out = []
+        for img_id, cats in self._dets.items():
+            for cat, dets in cats.items():
+                cat_id = (self._contig_to_cat_id.get(cat, cat)
+                          if self._contig_to_cat_id else cat)
+                for box, score, mask in dets:
+                    rec = {
+                        "image_id": img_id,
+                        "category_id": int(cat_id),
+                        "bbox": [round(float(v), 3) for v in box],
+                        "score": round(float(score), 5),
+                    }
+                    out.append(rec)
+        out.sort(key=lambda r: (str(r["image_id"]), -r["score"]))
+        return out
+
+    def evaluate(self, iou_types=("bbox",),
+                 output_dir: Optional[str] = None
+                 ) -> Dict[str, Dict[str, float]]:
+        self._match_cache = {}
         out = {}
         for t in iou_types:
             out[t] = self._evaluate_type(t)
-            logger.info("COCO %s results: %s", t, out[t])
+            logger.info(
+                "COCO %s results: %s", t,
+                {k: round(v, 3) for k, v in out[t].items()
+                 if not k.startswith("AP-")},
+            )
+        if output_dir:
+            import json
+            import os
+
+            os.makedirs(output_dir, exist_ok=True)
+            with open(os.path.join(output_dir,
+                                   "coco_instances_results.json"), "w") as f:
+                json.dump(self.coco_results_list(), f)
+            with open(os.path.join(output_dir, "metrics.json"), "w") as f:
+                json.dump(out, f, indent=2)
         return out

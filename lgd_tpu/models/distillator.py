@@ -95,6 +95,7 @@ class BaseDistillator(nn.Module):
             add_context_box=t.ADD_CONTEXT_BOX,
             detach_appearance_embed=t.DETACH_APPEARANCE_EMBED,
             use_seg_map=cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP,
+            attn_impl=cfg.TPU.ATTENTION_IMPL,
             dtype=jnp.float32,
             name="teacher",
         )

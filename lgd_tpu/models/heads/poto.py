@@ -10,12 +10,15 @@ NMS when MODEL.NMS_TYPE == 'null'.
 
 One-to-one matching on TPU: the reference calls scipy
 ``linear_sum_assignment`` on CPU (a device->host sync each step,
-poto.py:359). Here the default is an on-device greedy one-to-one (pick the
-global max-quality (gt, shift) pair, remove both, repeat M times inside a
-``fori_loop``) — for POTO's quality surface (sharply peaked per GT, spatially
-disjoint) greedy and Hungarian agree except under heavy same-class crowding.
-Set TPU.POTO_EXACT_HUNGARIAN (future knob) to trade step time for the exact
-assignment via host callback.
+poto.py:359). The default here matches it exactly —
+``MODEL.POTO.ASSIGNMENT = "hungarian"`` runs scipy on the host via
+``jax.pure_callback`` (one device<->host sync per step). Setting
+``MODEL.POTO.ASSIGNMENT = "greedy"`` opts into an on-device greedy
+one-to-one (pick the global max-quality (gt, shift) pair, remove both,
+repeat M times inside a ``fori_loop``) that avoids the sync; for POTO's
+quality surface (sharply peaked per GT) greedy agrees with Hungarian except
+under heavy same-class crowding — tests/test_poto_assignment.py measures
+the disagreement on crowded synthetic scenes.
 """
 
 from __future__ import annotations

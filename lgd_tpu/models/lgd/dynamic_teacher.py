@@ -96,6 +96,7 @@ class MultiHeadAttention(nn.Module):
 
     channels: int = 256
     num_heads: int = 8
+    attn_impl: str = "auto"  # cfg.TPU.ATTENTION_IMPL: pallas/reference/auto
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,7 +113,8 @@ class MultiHeadAttention(nn.Module):
 
         from ...ops.attention import masked_attention
 
-        out = masked_attention(qh, kh, vh, key_valid, scale=1.0 / Dh ** 0.5)
+        out = masked_attention(qh, kh, vh, key_valid,
+                               scale=1.0 / Dh ** 0.5, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, Mq, C).astype(q.dtype)
         return dense("out_proj")(out)
 
@@ -149,6 +151,7 @@ class DynamicTeacher(nn.Module):
     add_context_box: bool = False
     detach_appearance_embed: bool = False
     use_seg_map: bool = False
+    attn_impl: str = "auto"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -183,7 +186,8 @@ class DynamicTeacher(nn.Module):
                                      dtype=self.dtype, name="refine_3")
         self.attn = MultiHeadAttention(
             channels=self.channels, num_heads=self.num_heads,
-            dtype=self.dtype, name="multi_head_attn",
+            attn_impl=self.attn_impl, dtype=self.dtype,
+            name="multi_head_attn",
         )
 
     def __call__(self, gt: BatchedInstances, stu_fpn_feats: Dict[str, jax.Array],

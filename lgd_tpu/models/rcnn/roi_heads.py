@@ -205,6 +205,57 @@ def crop_bitmasks(bitmasks, matched_gt, boxes, out: int, stride: int):
     return (out_m >= 0.5).astype(jnp.float32)
 
 
+def crop_gt_frame_masks(mask_crops, gt_boxes, matched_gt, boxes, out: int):
+    """Mask targets from exact GT-box-frame polygon rasters: gather each
+    proposal's matched (G, G) crop + GT box, map the proposal's out x out
+    cell centers into the GT-box frame, bilinear-sample (zero outside the
+    GT box — polygons live inside their box), threshold 0.5.
+
+    Near-exact equivalent of detectron2 PolygonMasks.crop_and_resize(
+    proposal_boxes, out) (used by mask_rcnn_loss): the only approximation
+    is resampling the 2x-resolution exact raster instead of re-rasterizing
+    the polygon per proposal (quantified in tests/test_mask_targets.py)."""
+    B, M, G, _ = mask_crops.shape
+    S = boxes.shape[1]
+    idx = matched_gt.astype(jnp.int32)
+    crops = jnp.take_along_axis(
+        mask_crops.astype(jnp.float32), idx[..., None, None], axis=1
+    )  # (B, S, G, G)
+    gbox = jnp.take_along_axis(gt_boxes, idx[..., None], axis=1)  # (B, S, 4)
+
+    g = (jnp.arange(out, dtype=jnp.float32) + 0.5) / out
+    px = boxes[..., 0:1] + (boxes[..., 2:3] - boxes[..., 0:1]) * g
+    py = boxes[..., 1:2] + (boxes[..., 3:4] - boxes[..., 1:2]) * g
+    gw = jnp.maximum(gbox[..., 2:3] - gbox[..., 0:1], 1e-3)
+    gh = jnp.maximum(gbox[..., 3:4] - gbox[..., 1:2], 1e-3)
+    u = (px - gbox[..., 0:1]) / gw * G - 0.5   # (B, S, out)
+    v = (py - gbox[..., 1:2]) / gh * G - 0.5
+
+    def bil(coord):
+        inb = (coord > -1.0) & (coord < G)  # outside the GT box -> 0
+        c = jnp.clip(coord, 0.0, G - 1.0)
+        c0 = jnp.floor(c)
+        f = c - c0
+        c0i = c0.astype(jnp.int32)
+        c1i = jnp.minimum(c0i + 1, G - 1)
+        return (c0i, (1 - f) * inb), (c1i, f * inb)
+
+    (v0, wv0), (v1, wv1) = bil(v)
+    (u0, wu0), (u1, wu1) = bil(u)
+
+    def sample(yi, xi):  # (B,S,out) each -> (B,S,out,out)
+        rows = jnp.take_along_axis(
+            crops, yi[..., :, None].repeat(G, -1), axis=2)
+        return jnp.take_along_axis(rows, xi[..., None, :].repeat(out, -2),
+                                   axis=3)
+
+    m = (sample(v0, u0) * (wv0[..., :, None] * wu0[..., None, :])
+         + sample(v0, u1) * (wv0[..., :, None] * wu1[..., None, :])
+         + sample(v1, u0) * (wv1[..., :, None] * wu0[..., None, :])
+         + sample(v1, u1) * (wv1[..., :, None] * wu1[..., None, :]))
+    return (m >= 0.5).astype(jnp.float32)
+
+
 def mask_rcnn_loss(cfg, mask_logits, sampled, gt: BatchedInstances):
     """BCE over fg ROIs' class channel vs cropped GT masks (detectron2
     mask_rcnn_loss; mean over fg pixels)."""
@@ -213,8 +264,15 @@ def mask_rcnn_loss(cfg, mask_logits, sampled, gt: BatchedInstances):
     cls_safe = jnp.clip(sampled["classes"], 0, num_classes - 1)
     per_cls = jnp.take_along_axis(
         mask_logits, cls_safe[..., None, None, None], axis=-1)[..., 0]
-    targets = crop_bitmasks(gt.bitmasks, sampled["matched_gt"],
-                            sampled["boxes"], out, cfg_stride(cfg))
+    if gt.mask_crops is not None:
+        targets = crop_gt_frame_masks(gt.mask_crops, gt.boxes,
+                                      sampled["matched_gt"],
+                                      sampled["boxes"], out)
+    else:
+        # fallback: canvas-wide stride raster (coarser; kept for batches
+        # without polygon crops)
+        targets = crop_bitmasks(gt.bitmasks, sampled["matched_gt"],
+                                sampled["boxes"], out, cfg_stride(cfg))
     bce = L.binary_cross_entropy_with_logits(per_cls, targets)
     fg = sampled["is_fg"][..., None, None]
     n = jnp.maximum(jnp.sum(fg.astype(jnp.float32)) * out * out, 1.0)
@@ -286,21 +344,26 @@ class StandardROIHeads(nn.Module):
                 conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
                 dtype=self.dtype, name="mask_head")
 
-    def _pool(self, feats, boxes, valid, resolution):
+    def _pool(self, feats, boxes, valid, resolution, sampling_ratio):
         strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32}
         features = [feats[f] for f in self.in_features]
         s = [strides[f] for f in self.in_features]
         return multilevel_roi_align(
             features, boxes, valid, s, resolution,
-            min_level=int(np.log2(s[0])))
+            min_level=int(np.log2(s[0])),
+            sampling_ratio=sampling_ratio)
 
     def box_forward(self, feats, boxes, valid):
-        pooled = self._pool(feats, boxes, valid,
-                            self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION)
+        pooled = self._pool(
+            feats, boxes, valid,
+            self.cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            self.cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO)
         x = self.box_head(pooled.astype(self.dtype))
         return self.box_predictor(x)
 
     def mask_forward(self, feats, boxes, valid):
-        pooled = self._pool(feats, boxes, valid,
-                            self.cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION)
+        pooled = self._pool(
+            feats, boxes, valid,
+            self.cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+            self.cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO)
         return self.mask_head(pooled.astype(self.dtype))

@@ -2,11 +2,18 @@
 
 TPU-native equivalent of detectron2's ROIAlign CUDA kernel (reference
 dependency; used by R-CNN box/mask pooling, configs/Base-RCNN-FPN.yaml:28-33;
-SURVEY.md §2.3). Two deltas from the CUDA op, both shape-static by design:
+SURVEY.md §2.3), shape-static by design:
 
-- sampling_ratio: detectron2's adaptive ceil(roi_h/out_h) points per bin is
-  data-dependent; here a fixed 2x2 sample grid per bin is used (the value
-  detectron2 effectively uses for typical ROI/bin ratios).
+- sampling_ratio: detectron2's ``sampling_ratio=0`` takes an adaptive
+  ``ceil(bin_h) x ceil(bin_w)`` sample grid per ROI (per-axis). That count is
+  data-dependent, so here every ROI samples a static ``s_max x s_max`` grid
+  whose *positions and weights* depend on the ROI's adaptive count: sample j
+  sits at ``(j + 0.5)/n`` of the bin with weight ``1/(ny*nx)`` for ``j < n``
+  and weight 0 otherwise — bit-identical to the CUDA op whenever
+  ``ceil(bin) <= s_max`` (always true for FPN-routed ROIs: the level
+  assignment bounds bin size to < 4 for the canonical 224/stride scheme),
+  and a uniform s_max-point average beyond (quantified in
+  tests/test_roi_align_golden.py).
 - multilevel pooling: rather than routing each ROI to one pyramid level with
   ragged batching, all levels are flattened and concatenated along a single
   "pixel" axis; each ROI's gather indices carry its level offset, so the
@@ -43,14 +50,21 @@ def multilevel_roi_align(
     output_size: int,
     min_level: int,
     aligned: bool = True,
+    sampling_ratio: int = 0,
+    s_max: int = 4,
 ) -> jax.Array:
     """features: per-level (B, Hi, Wi, C) list; boxes: (B, P, 4) in input
-    coords; box_valid: (B, P). Returns (B, P, out, out, C)."""
+    coords; box_valid: (B, P). Returns (B, P, out, out, C).
+
+    sampling_ratio > 0: fixed grid of that many samples per bin axis
+    (detectron2 semantics). sampling_ratio == 0: adaptive ceil(bin) grid,
+    realized statically as an s_max-slot masked grid (see module docstring).
+    """
     B, P, _ = boxes.shape
     C = features[0].shape[-1]
     L = len(features)
     out = output_size
-    S = 2  # samples per bin axis
+    S = sampling_ratio if sampling_ratio > 0 else s_max
 
     # flatten + concat levels along the pixel axis
     flat = [f.reshape(B, -1, C) for f in features]
@@ -83,24 +97,43 @@ def multilevel_roi_align(
     bin_w = roi_w / out
     bin_h = roi_h / out
 
-    # sample positions: (out*S,) relative offsets per axis
-    g = (jnp.arange(out * S, dtype=jnp.float32) + 0.5) / S  # in bin units
-    sy = y1[..., None] + bin_h[..., None] * g  # (B, P, out*S)
-    sx = x1[..., None] + bin_w[..., None] * g
+    if sampling_ratio > 0:
+        ny = jnp.full_like(bin_h, float(S))
+        nx = jnp.full_like(bin_w, float(S))
+    else:
+        # detectron2 ROIAlign CUDA: roi_bin_grid = ceil(roi_size/out), >= 1
+        ny = jnp.clip(jnp.ceil(bin_h), 1.0, float(S))
+        nx = jnp.clip(jnp.ceil(bin_w), 1.0, float(S))
+
+    # sample positions: bin index + (j + 0.5)/n within the bin, per ROI
+    bin_idx = jnp.asarray(np.repeat(np.arange(out), S), jnp.float32)  # (out*S,)
+    slot_idx = jnp.asarray(np.tile(np.arange(S), out), jnp.float32)
+    gy = bin_idx + (slot_idx + 0.5) / ny[..., None]     # (B, P, out*S)
+    gx = bin_idx + (slot_idx + 0.5) / nx[..., None]
+    sy = y1[..., None] + bin_h[..., None] * gy
+    sx = x1[..., None] + bin_w[..., None] * gx
+    # slot j participates iff j < n (weight 1/n); dead slots weigh 0
+    wy_slot = jnp.where(slot_idx < ny[..., None], 1.0 / ny[..., None], 0.0)
+    wx_slot = jnp.where(slot_idx < nx[..., None], 1.0 / nx[..., None], 0.0)
 
     def bilinear_axis(coord, size):
-        c0 = jnp.floor(coord)
-        frac = coord - c0
+        # detectron2 bilinear_interpolate semantics: a sample outside
+        # [-1, size] contributes 0; otherwise the coordinate clamps into
+        # [0, size-1] (border rows/cols get full weight at the edges)
+        sizef = size[..., None].astype(coord.dtype)
+        valid = (coord >= -1.0) & (coord <= sizef)
+        c = jnp.clip(coord, 0.0, sizef - 1.0)
+        c0 = jnp.floor(c)
+        frac = c - c0
         c0i = c0.astype(jnp.int32)
-        c1i = c0i + 1
-        v0 = (c0i >= 0) & (c0i < size[..., None])
-        v1 = (c1i >= 0) & (c1i < size[..., None])
-        c0i = jnp.clip(c0i, 0, size[..., None] - 1)
-        c1i = jnp.clip(c1i, 0, size[..., None] - 1)
-        return (c0i, (1 - frac) * v0), (c1i, frac * v1)
+        c1i = jnp.minimum(c0i + 1, size[..., None] - 1)
+        return (c0i, (1 - frac) * valid), (c1i, frac * valid)
 
     (y0i, wy0), (y1i, wy1) = bilinear_axis(sy, Hl)
     (x0i, wx0), (x1i, wx1) = bilinear_axis(sx, Wl)
+    # fold the per-slot adaptive weight into the bilinear weights once
+    wy0, wy1 = wy0 * wy_slot, wy1 * wy_slot
+    wx0, wx1 = wx0 * wx_slot, wx1 * wx_slot
 
     n = out * S
 
@@ -119,9 +152,9 @@ def multilevel_roi_align(
     samples = (
         gather(y0i, x0i) * w00 + gather(y0i, x1i) * w01
         + gather(y1i, x0i) * w10 + gather(y1i, x1i) * w11
-    )  # (B, P, n, n, C)
+    )  # (B, P, n, n, C) — each sample pre-scaled by 1/(ny*nx)
 
-    # average S x S samples per bin
+    # sum S x S weighted samples per bin (weights already sum to 1 per bin)
     samples = samples.reshape(B, P, out, S, out, S, C)
-    pooled = samples.mean(axis=(3, 5))
+    pooled = samples.sum(axis=(3, 5))
     return pooled * box_valid[..., None, None, None].astype(pooled.dtype)

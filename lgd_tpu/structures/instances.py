@@ -10,6 +10,8 @@ annotations live in fixed-capacity struct-of-arrays with validity masks:
     masks49 : (B, M, 49) optional 7x7 in-box bitmask (Mask R-CNN labelmap path)
     bitmasks: (B, M, Hs, Ws) optional rasterized segmentation at stride
               TPU.SEGMASK_STRIDE (source for per-level inside-GT masks)
+    mask_crops: (B, M, G, G) optional exact polygon raster in the GT-box
+              frame at G = TPU.MASK_CROP_SIZE (mask-head target source)
 
 Registered as a pytree so it flows through jit/shard_map/grad unchanged.
 """
@@ -32,6 +34,7 @@ class BatchedInstances:
     valid: jax.Array          # (B, M) bool
     masks49: Optional[jax.Array] = None    # (B, M, 49)
     bitmasks: Optional[jax.Array] = None   # (B, M, Hs, Ws) uint8/bool
+    mask_crops: Optional[jax.Array] = None  # (B, M, G, G) uint8
 
     @property
     def capacity(self) -> int:
@@ -47,7 +50,8 @@ class BatchedInstances:
 
     @staticmethod
     def from_lists(boxes_list, classes_list, capacity: int,
-                   masks49_list=None, bitmasks_list=None):
+                   masks49_list=None, bitmasks_list=None,
+                   mask_crops_list=None):
         """Host-side packing of per-image ragged numpy annotations into the
         padded layout. Truncates images with more than ``capacity`` boxes
         (COCO max is 93; default capacity 100)."""
@@ -57,6 +61,7 @@ class BatchedInstances:
         valid = np.zeros((B, capacity), bool)
         masks49 = None
         bitmasks = None
+        mask_crops = None
         if masks49_list is not None:
             masks49 = np.zeros((B, capacity, 49), np.float32)
         if bitmasks_list is not None:
@@ -66,6 +71,13 @@ class BatchedInstances:
                     hs = max(hs, bm.shape[1])
                     ws = max(ws, bm.shape[2])
             bitmasks = np.zeros((B, capacity, hs, ws), np.uint8) if hs else None
+        if mask_crops_list is not None:
+            g = 0
+            for mc in mask_crops_list:
+                if mc is not None and len(mc):
+                    g = max(g, mc.shape[1])
+            mask_crops = (np.zeros((B, capacity, g, g), np.uint8)
+                          if g else None)
         for i, (bx, cl) in enumerate(zip(boxes_list, classes_list)):
             n = min(len(bx), capacity)
             if n:
@@ -77,12 +89,17 @@ class BatchedInstances:
                 if bitmasks is not None and bitmasks_list[i] is not None:
                     bm = np.asarray(bitmasks_list[i], np.uint8)[:n]
                     bitmasks[i, :n, : bm.shape[1], : bm.shape[2]] = bm
+                if mask_crops is not None and mask_crops_list[i] is not None:
+                    mc = np.asarray(mask_crops_list[i], np.uint8)[:n]
+                    if len(mc):
+                        mask_crops[i, :n] = mc
         return BatchedInstances(
             boxes=jnp.asarray(boxes),
             classes=jnp.asarray(classes),
             valid=jnp.asarray(valid),
             masks49=None if masks49 is None else jnp.asarray(masks49),
             bitmasks=None if bitmasks is None else jnp.asarray(bitmasks),
+            mask_crops=None if mask_crops is None else jnp.asarray(mask_crops),
         )
 
 

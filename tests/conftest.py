@@ -18,5 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # for the tolerances used here)
 if "xla_backend_optimization_level" not in flags:
     flags = (flags + " --xla_backend_optimization_level=0").strip()
+# single-core host: the 8 virtual partitions can take >40s (default CPU
+# collective rendezvous timeout) to all arrive at the first all-gather,
+# and XLA SIGABRTs the process when the timeout fires. Allow 600s.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+             ).strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")

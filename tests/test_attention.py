@@ -56,6 +56,49 @@ def test_pallas_kernel_matches_reference():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_backward_kernel_matches_reference_grads():
+    """The fused dQ/dK/dV backward kernel (interpret mode) must match
+    jax.grad of the jnp reference — training never materializes (N, N) in
+    HBM (VERDICT r1 #5)."""
+    from lgd_tpu.ops.attention import _pallas_bwd_impl
+
+    rng = np.random.RandomState(2)
+    B, H, N, D = 2, 3, 16, 8
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, N) > 0.3)
+    valid = valid.at[:, 0].set(True)
+    g = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    scale = 1.0 / D ** 0.5
+
+    def loss(q_, k_, v_):
+        out = masked_attention_reference(q_, k_, v_, valid, scale)
+        return jnp.vdot(out, g)
+
+    want_dq, want_dk, want_dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    with jax.disable_jit():  # interpret pallas on CPU
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(pl, "pallas_call", interp):
+            dq, dk, dv = _pallas_bwd_impl(q, k, v, valid, g, scale)
+
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_reference_matches_torch_mha():
     """Batched masked attention == torch nn.MultiheadAttention with a
     block-diagonal mask on the flattened ragged sequence (the reference's

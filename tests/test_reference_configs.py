@@ -19,18 +19,17 @@ REF = "/root/reference/configs/Distillation"
 ALL_YAMLS = sorted(glob.glob(os.path.join(REF, "**", "*.yaml"),
                              recursive=True))
 
-# subset whose train_forward is actually traced (tiny canvas, small depth
-# where the backbone choice isn't the point of the config)
-TRACE_SET = {
-    "retinanet_R_50": [],
-    "retinanet_X_101_dcnv2": ["MODEL.RESNETS.DEPTH", "50"],  # keep groups+DCN
-    "retinanet_Swin_Tiny": [],
-    "fcos_R_50": [],
-    "faster_rcnn_R_50": ["MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",
-                         "MODEL.RPN.POST_NMS_TOPK_TRAIN", "64"],
-    "mask_rcnn_Swin_Tiny": ["MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",
-                            "MODEL.RPN.POST_NMS_TOPK_TRAIN", "64"],
-}
+def _trace_opts(path):
+    """Per-config overrides for the full-graph trace: backbones stay REAL
+    (X-101 groups, DCNv2, Swin, true depths — eval_shape never executes, so
+    tracing the genuine architecture is cheap); only proposal/sampling
+    capacities are reduced to keep the tiny-canvas R-CNN trace small."""
+    name = os.path.basename(path)
+    opts = []
+    if "rcnn" in name:
+        opts += ["MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",
+                 "MODEL.RPN.POST_NMS_TOPK_TRAIN", "64"]
+    return opts
 
 
 def _load(path, extra_opts=()):
@@ -54,11 +53,10 @@ def test_build_model_from_reference_config(path):
 
 
 @pytest.mark.skipif(not ALL_YAMLS, reason="reference absent")
-@pytest.mark.parametrize("key", sorted(TRACE_SET), ids=str)
-def test_trace_train_forward(key):
-    matches = [p for p in ALL_YAMLS if os.path.basename(p).startswith(key)]
-    assert matches, f"no reference yaml starts with {key}"
-    cfg = _load(matches[0], TRACE_SET[key])
+@pytest.mark.parametrize("path", ALL_YAMLS,
+                         ids=lambda p: os.path.basename(p)[:40])
+def test_trace_train_forward(path):
+    cfg = _load(path, _trace_opts(path))
     model = build_model(cfg, dtype=jnp.float32)
     with_masks = cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP
     batch = make_synthetic_batch(batch_size=1, canvas_hw=(64, 64),
