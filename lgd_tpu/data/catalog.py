@@ -87,6 +87,18 @@ def _register_builtin_coco():
 _register_builtin_coco()
 
 
+def _register_builtin_voc_lvis():
+    root = os.environ.get("DETECTRON2_DATASETS", "datasets")
+    from .lvis import register_lvis
+    from .voc import register_pascal_voc
+
+    register_pascal_voc(root)
+    register_lvis(root)
+
+
+_register_builtin_voc_lvis()
+
+
 def _register_builtin_synthetic():
     """16-image synthetic mini split (BASELINE config #1), always available."""
 

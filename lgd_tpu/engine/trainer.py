@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from ..data.loader import TestLoader, TrainLoader
-from ..evaluation import COCOEvaluator
+from ..evaluation import get_evaluator
 from ..parallel.mesh import make_mesh, shard_batch
 from .checkpoint import Checkpointer, PeriodicCheckpointer
 from .events import (
@@ -62,8 +62,8 @@ def do_test(cfg, model, variables, eval_teacher: bool = False,
     for dataset_name in cfg.DATASETS.TEST:
         loader = TestLoader(cfg, dataset_name, batch_size=batch_size,
                             rank=rank, world_size=world)
-        evaluator = COCOEvaluator(dataset_name,
-                                  num_classes=cfg.NUM_CLASSES)
+        # evaluator_type routing (reference get_evaluator, train.py:78-127)
+        evaluator = get_evaluator(cfg, dataset_name)
         evaluator.reset()
 
         @functools.partial(jax.jit, static_argnums=(4,),
@@ -112,7 +112,7 @@ def do_test(cfg, model, variables, eval_teacher: bool = False,
             "batch=%d)", compute_time / max(n_timed_imgs, 1), total,
             batch_size,
         )
-        if world > 1:
+        if world > 1 and hasattr(evaluator, "detections_state"):
             states = allgather_object(evaluator.detections_state())
             for r, st in enumerate(states):
                 if r != rank:

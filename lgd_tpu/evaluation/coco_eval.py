@@ -63,8 +63,11 @@ class COCOEvaluator:
 
     def __init__(self, dataset_name: Optional[str] = None,
                  gt_dataset: Optional[List[dict]] = None,
-                 num_classes: int = 80):
+                 num_classes: int = 80, max_dets: int = MAX_DETS,
+                 ar_dets=(1, 10)):
         self.num_classes = num_classes
+        self.max_dets = max_dets      # per image-category cap (COCO: 100)
+        self.ar_dets = tuple(ar_dets)  # extra AR@k rows (besides max_dets)
         self._gt = defaultdict(lambda: defaultdict(list))  # img -> cat -> list
         self._img_ids = set()
         self._class_names = None
@@ -132,7 +135,7 @@ class COCOEvaluator:
         det_* of shape (T, D) for the 10 IoU thresholds."""
         gts = self._gt[img_id].get(cat, [])
         dets = self._dets[img_id].get(cat, [])
-        dets = sorted(dets, key=lambda d: -d[1])[:MAX_DETS]
+        dets = sorted(dets, key=lambda d: -d[1])[: self.max_dets]
         D, G = len(dets), len(gts)
         T = len(IOU_THRS)
         scores = np.asarray([d[1] for d in dets])
@@ -219,12 +222,19 @@ class COCOEvaluator:
         n_valid = int((~gt_ignore).sum())
         return scores, det_matched, det_ignored, n_valid
 
+    def _img_eligible(self, img_id, cat) -> bool:
+        """Hook: LVIS federated evaluation skips (image, category) pairs the
+        dataset neither positively nor negatively annotates."""
+        return True
+
     def _accumulate(self, area_rng_name="all", iou_type="bbox",
-                    max_dets: int = MAX_DETS):
+                    max_dets: Optional[int] = None):
         """AP/AR per (IoU thr, category). ``max_dets`` truncates each
         image-category's score-sorted detections post-matching — identical
         to matching only the top-k (greedy matching of det i never depends
         on det j>i), exactly pycocotools' accumulate() maxDets handling."""
+        if max_dets is None:
+            max_dets = self.max_dets
         area_rng = AREA_RANGES[area_rng_name]
         T = len(IOU_THRS)
         ap_per_cat = np.full((T, self.num_classes), np.nan)
@@ -235,6 +245,8 @@ class COCOEvaluator:
             n_gt = 0
             for img_id in img_ids:
                 if cat not in self._gt[img_id] and cat not in self._dets[img_id]:
+                    continue
+                if not self._img_eligible(img_id, cat):
                     continue
                 key = (img_id, cat, area_rng_name, iou_type)
                 if key in self._match_cache:
@@ -286,10 +298,10 @@ class COCOEvaluator:
             "AP": mean(ap_all),
             "AP50": mean(ap_all[0]),
             "AP75": mean(ap_all[5]),
-            "AR@100": mean(ar_all),
-            "AR": mean(ar_all),  # back-compat alias of AR@100
+            f"AR@{self.max_dets}": mean(ar_all),
+            "AR": mean(ar_all),  # back-compat alias of AR@max_dets
         }
-        for k in (1, 10):
+        for k in self.ar_dets:
             _, ar_k = self._accumulate("all", iou_type, max_dets=k)
             results[f"AR@{k}"] = mean(ar_k)
         for name in ("small", "medium", "large"):

@@ -71,10 +71,16 @@ class BottleneckBlock(nn.Module):
                 dilation=self.dilation,
                 groups=self.num_groups,
                 modulated=self.deform_modulated,
-                norm=self.norm,
+                norm="none",  # norm applied at block level (uniform
+                # conv2_norm naming across plain/deform blocks, so the
+                # detectron2 res{s}.{b}.conv2.norm.* keys convert 1:1)
                 dtype=self.dtype,
                 name="conv2",
             )(out)
+            norm2 = get_norm(self.norm, self.bottleneck_channels,
+                             dtype=self.dtype, name="conv2_norm")
+            if norm2 is not None:
+                out = norm2(out)
             out = nn.relu(out)
         else:
             out = nn.relu(
@@ -160,7 +166,11 @@ class ResNet(nn.Module):
         bottleneck = self.num_groups * self.width_per_group
         out_channels = self.res2_out_channels
         outputs = {}
-        for stage_idx in range(4):
+        # build only through the deepest requested stage: the C4 trunk ends
+        # at res4 (detectron2 build_resnet_backbone with OUT_FEATURES
+        # ['res4']; res5 then lives inside Res5ROIHeads)
+        last_stage = max(int(f[3]) for f in self.out_features) - 1
+        for stage_idx in range(last_stage):
             name = f"res{stage_idx + 2}"
             dilation = self.res5_dilation if stage_idx == 3 else 1
             first_stride = 1 if stage_idx == 0 or dilation > 1 else 2

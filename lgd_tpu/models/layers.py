@@ -122,3 +122,14 @@ def constant_init(v: float):
         return jnp.full(shape, v, dtype)
 
     return init
+
+
+def feature_strides(cfg, names):
+    """Stride of each named feature map. FPN levels are fixed powers of two;
+    raw ResNet stages depend on RES5_DILATION (DilatedC5 keeps res5 at
+    stride 16, detectron2 build_resnet_backbone semantics)."""
+    res5 = 32 // max(int(cfg.MODEL.RESNETS.RES5_DILATION), 1)
+    table = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64, "p7": 128,
+             "res2": 4, "res3": 8, "res4": 16, "res5": res5,
+             "stage2": 4, "stage3": 8, "stage4": 16, "stage5": 32}
+    return [table[n] for n in names]

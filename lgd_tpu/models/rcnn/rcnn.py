@@ -42,6 +42,11 @@ class RCNNCT(nn.Module):
     def setup(self):
         cfg = self.cfg
         backbone_name = cfg.MODEL.BACKBONE.NAME
+        # FPN-less trunks: Base-RCNN-C4 (res4 + Res5ROIHeads) and
+        # Base-RCNN-DilatedC5 (dilated res5 + StandardROIHeads) run the
+        # heads directly on raw ResNet stages (detectron2
+        # build_resnet_backbone path)
+        self.use_fpn = "fpn" in backbone_name
         if "swint" in backbone_name:
             from ..backbones.swin import build_swint
 
@@ -54,12 +59,19 @@ class RCNNCT(nn.Module):
             in_feats = tuple(cfg.MODEL.FPN.IN_FEATURES)
             in_strides = [{"res2": 4, "res3": 8, "res4": 16, "res5": 32}[f]
                           for f in in_feats]
-        self.fpn = FPN(in_features=in_feats, in_strides=in_strides,
-                       out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
-                       top_block="maxpool", dtype=self.dtype, name="fpn")
+        if self.use_fpn:
+            self.fpn = FPN(in_features=in_feats, in_strides=in_strides,
+                           out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+                           top_block="maxpool", dtype=self.dtype, name="fpn")
         self.proposal_generator = RPN(cfg=cfg, dtype=self.dtype, name="rpn")
-        self.roi_heads = StandardROIHeads(cfg=cfg, dtype=self.dtype,
+        if cfg.MODEL.ROI_HEADS.NAME == "Res5ROIHeads":
+            from .roi_heads import Res5ROIHeads
+
+            self.roi_heads = Res5ROIHeads(cfg=cfg, dtype=self.dtype,
                                           name="roi_heads")
+        else:
+            self.roi_heads = StandardROIHeads(cfg=cfg, dtype=self.dtype,
+                                              name="roi_heads")
         self.pixel_mean = tuple(cfg.MODEL.PIXEL_MEAN)
         self.pixel_std = tuple(cfg.MODEL.PIXEL_STD)
         self.mask_on = cfg.MODEL.MASK_ON
@@ -78,20 +90,24 @@ class RCNNCT(nn.Module):
     def __call__(self, images, image_sizes):
         x = self.normalize(images, image_sizes).astype(self.dtype)
         raw = self.bottom_up(x)
-        feats = self.fpn(raw)
+        feats = self.fpn(raw) if self.use_fpn else dict(raw)
         return raw, feats
+
+    def _padded_hw(self, feats):
+        """Recover the padded canvas from the first RPN level's grid."""
+        from ..layers import feature_strides
+
+        f0 = self.proposal_generator.in_features[0]
+        stride0 = feature_strides(self.cfg, [f0])[0]
+        g = feats[f0]
+        return (g.shape[1] * stride0, g.shape[2] * stride0)
 
     def predict(self, feats: Dict[str, jax.Array], image_sizes,
                 gt: BatchedInstances):
         """Full RPN + ROI training pass on the given feature pyramid,
         returning the loss dict (reference frcnn.py:59-76)."""
         cfg = self.cfg
-        padded_hw = None
-        # infer the padded canvas back from p2's grid (stride 4)
-        p2 = feats[self.proposal_generator.in_features[0]]
-        stride0 = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}[
-            self.proposal_generator.in_features[0]]
-        padded_hw = (p2.shape[1] * stride0, p2.shape[2] * stride0)
+        padded_hw = self._padded_hw(feats)
 
         anchors, counts = rpn_anchors(cfg, padded_hw,
                                       self.proposal_generator.in_features)
@@ -110,7 +126,8 @@ class RCNNCT(nn.Module):
         scores, box_deltas = self.roi_heads.box_forward(
             feats, sampled["boxes"], sampled["valid"])
         losses.update(fast_rcnn_losses(cfg, scores, box_deltas, sampled, gt))
-        if self.mask_on and gt.bitmasks is not None:
+        if self.mask_on and (gt.mask_crops is not None
+                             or gt.bitmasks is not None):
             mask_logits = self.roi_heads.mask_forward(
                 feats, sampled["boxes"], sampled["is_fg"])
             losses["loss_mask"] = mask_rcnn_loss(cfg, mask_logits, sampled, gt)
@@ -118,10 +135,7 @@ class RCNNCT(nn.Module):
 
     def infer_boxes(self, feats, image_sizes):
         cfg = self.cfg
-        p2 = feats[self.proposal_generator.in_features[0]]
-        stride0 = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}[
-            self.proposal_generator.in_features[0]]
-        padded_hw = (p2.shape[1] * stride0, p2.shape[2] * stride0)
+        padded_hw = self._padded_hw(feats)
         anchors, counts = rpn_anchors(cfg, padded_hw,
                                       self.proposal_generator.in_features)
         logits, deltas = self.proposal_generator(feats)

@@ -345,9 +345,10 @@ class StandardROIHeads(nn.Module):
                 dtype=self.dtype, name="mask_head")
 
     def _pool(self, feats, boxes, valid, resolution, sampling_ratio):
-        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32}
+        from ..layers import feature_strides
+
         features = [feats[f] for f in self.in_features]
-        s = [strides[f] for f in self.in_features]
+        s = feature_strides(self.cfg, self.in_features)
         return multilevel_roi_align(
             features, boxes, valid, s, resolution,
             min_level=int(np.log2(s[0])),
@@ -367,3 +368,73 @@ class StandardROIHeads(nn.Module):
             self.cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             self.cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO)
         return self.mask_head(pooled.astype(self.dtype))
+
+
+class Res5ROIHeads(nn.Module):
+    """C4 ROI heads (detectron2 Res5ROIHeads; reference surface via
+    configs/Base-RCNN-C4.yaml): pool res4 at 14x14, run the res5 stage as
+    the shared box head, mean-pool to the linear predictors; the mask head
+    (when MASK_ON) is a deconv+1x1 on the same res5 output. Presents the
+    StandardROIHeads box_forward/mask_forward API, so RCNNCT.predict/
+    infer_boxes drive it unchanged (mask_forward recomputes res5 on its ROI
+    set — C4 is a parity surface here, not the perf path)."""
+
+    cfg: Any
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        r = cfg.MODEL.RESNETS
+        from ..backbones.resnet import _STAGE_BLOCKS, BottleneckBlock
+
+        n_block = _STAGE_BLOCKS[r.DEPTH][3]
+        width = r.NUM_GROUPS * r.WIDTH_PER_GROUP
+        self.res5 = [
+            BottleneckBlock(
+                out_channels=r.RES2_OUT_CHANNELS * 8,
+                bottleneck_channels=width * 8,
+                stride=2 if i == 0 else 1,
+                num_groups=r.NUM_GROUPS,
+                norm=r.NORM,
+                stride_in_1x1=r.STRIDE_IN_1X1,
+                dtype=self.dtype,
+                name=f"res5_{i}",
+            )
+            for i in range(n_block)
+        ]
+        self.in_features = tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES)
+        self.box_predictor = FastRCNNOutputLayers(
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            cls_agnostic=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+            dtype=self.dtype, name="box_predictor")
+        self.mask_on = cfg.MODEL.MASK_ON
+        if self.mask_on:
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+                num_conv=0,  # detectron2 C4 mask head: deconv + predictor
+                conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+                dtype=self.dtype, name="mask_head")
+
+    def _res5_features(self, feats, boxes, valid):
+        from ..layers import feature_strides
+
+        cfg = self.cfg
+        s = feature_strides(cfg, self.in_features)
+        pooled = multilevel_roi_align(
+            [feats[f] for f in self.in_features], boxes, valid, s,
+            cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            min_level=int(np.log2(s[0])),
+            sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO)
+        B, P, hh, ww, C = pooled.shape
+        x = pooled.reshape(B * P, hh, ww, C).astype(self.dtype)
+        for block in self.res5:
+            x = block(x)
+        return x.reshape(B, P, x.shape[1], x.shape[2], x.shape[3])
+
+    def box_forward(self, feats, boxes, valid):
+        x = self._res5_features(feats, boxes, valid)
+        return self.box_predictor(x.mean(axis=(2, 3)))
+
+    def mask_forward(self, feats, boxes, valid):
+        x = self._res5_features(feats, boxes, valid)
+        return self.mask_head(x)

@@ -28,12 +28,13 @@ from ..heads.anchors import AnchorGenerator, feature_grid_sizes
 
 class StandardRPNHead(nn.Module):
     num_anchors: int = 3
-    channels: int = 256
+    channels: int = 0  # 0 -> input channels (detectron2: hidden = in_ch)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features: List[jax.Array]):
-        conv = nn.Conv(self.channels, (3, 3), padding="SAME",
+        channels = self.channels or features[0].shape[-1]
+        conv = nn.Conv(channels, (3, 3), padding="SAME",
                        kernel_init=normal_init(0.01), dtype=self.dtype,
                        name="conv")
         obj = nn.Conv(self.num_anchors, (1, 1),
@@ -51,8 +52,9 @@ class StandardRPNHead(nn.Module):
 
 
 def rpn_anchors(cfg, padded_hw, in_features):
-    strides = [{"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}[f]
-               for f in in_features]
+    from ..layers import feature_strides
+
+    strides = feature_strides(cfg, in_features)
     gen = AnchorGenerator(
         sizes=cfg.MODEL.ANCHOR_GENERATOR.SIZES,
         aspect_ratios=cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS,
@@ -186,8 +188,9 @@ class RPN(nn.Module):
         self.in_features = tuple(cfg.MODEL.RPN.IN_FEATURES)
         num_anchors = (len(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0])
                        * len(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]))
-        self.head = StandardRPNHead(num_anchors=num_anchors,
-                                    channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        # hidden channels = input channels (detectron2 StandardRPNHead):
+        # 256 on FPN levels, 1024 on a raw C4 res4 trunk
+        self.head = StandardRPNHead(num_anchors=num_anchors, channels=0,
                                     dtype=self.dtype, name="head")
 
     def __call__(self, feats: Dict[str, jax.Array]):

@@ -103,6 +103,18 @@ def convert_resnet_state(raw: Dict[str, np.ndarray]) -> Dict:
         else:
             continue
         prefix = [block] if block else []
+        if conv_name.endswith("_offset"):
+            # DCNv2 offset/mask predictor (detectron2 res{s}.{b}.conv2_offset
+            # in DEFORM_ON_PER_STAGE checkpoints) -> our
+            # res{s}_{b}/conv2/offset_conv
+            base = conv_name[: -len("_offset")]
+            if tail and tail[0] == "weight" and v.ndim == 4:
+                put(params, prefix + [base, "offset_conv", "kernel"],
+                    v.transpose(2, 3, 1, 0).astype(np.float32))
+            elif tail and tail[0] == "bias":
+                put(params, prefix + [base, "offset_conv", "bias"],
+                    v.astype(np.float32))
+            continue
         if tail and tail[0] == "norm" and len(tail) >= 2:
             stat = {"weight": "scale", "bias": "bias",
                     "running_mean": "mean", "running_var": "var"}[tail[1]]
