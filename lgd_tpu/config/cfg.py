@@ -100,10 +100,18 @@ class CfgNode(dict):
             if isinstance(v, CfgNode):
                 v._set_immutable(flag)
 
+    def _plain(self):
+        """Recursive plain-dict copy (no freeze state)."""
+        return {
+            k: (v._plain() if isinstance(v, CfgNode) else copy.deepcopy(v))
+            for k, v in self.items()
+        }
+
     def clone(self):
-        c = copy.deepcopy(self)
-        c._set_immutable(False)
-        return c
+        # NOTE: deepcopy of a frozen node restores IMMUTABLE before items
+        # are copied and explodes; rebuild from plain dicts instead. The
+        # clone is always mutable (callers freeze() when done).
+        return type(self)(self._plain())
 
     # -- merging -----------------------------------------------------------
     def merge_from_other_cfg(self, other: "CfgNode"):

@@ -312,7 +312,13 @@ class COCOEvaluator:
             results["AR" + name[0]] = (
                 float(np.nanmean(ar) * 100) if not nan(ar) else float("nan")
             )
-        per_cat = np.nanmean(ap_all, axis=0)  # (num_classes,)
+        import warnings
+
+        with warnings.catch_warnings():
+            # all-NaN columns (categories absent from GT and dets) are
+            # expected and skipped below
+            warnings.simplefilter("ignore", RuntimeWarning)
+            per_cat = np.nanmean(ap_all, axis=0)  # (num_classes,)
         for c in range(self.num_classes):
             if np.isnan(per_cat[c]):
                 continue
