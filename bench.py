@@ -24,20 +24,22 @@ import jax.numpy as jnp
 
 BASELINE_IMG_PER_S_PER_GPU = 4.4
 
-# peak dense bf16 FLOP/s per chip
-PEAK_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5": 459e12,        # v5p
-    "TPU v5 lite": 197e12,   # v5e
-    "TPU v5e": 197e12,
-    "TPU v6 lite": 918e12,   # v6e / Trillium
-    "TPU v6e": 918e12,
-}
+# peak dense bf16 FLOP/s per chip — most specific prefixes FIRST
+# ("TPU v5 lite" must not match the "TPU v5"/v5p row)
+PEAK_FLOPS = [
+    ("TPU v5 lite", 197e12),  # v5e
+    ("TPU v5e", 197e12),
+    ("TPU v6 lite", 918e12),  # v6e / Trillium
+    ("TPU v6e", 918e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5", 459e12),
+    ("TPU v4", 275e12),
+]
 
 
 def _peak_flops():
     kind = jax.devices()[0].device_kind
-    for k, v in PEAK_FLOPS.items():
+    for k, v in PEAK_FLOPS:
         if kind.lower().startswith(k.lower()):
             return v, kind
     return 197e12, kind  # assume v5e-class if unknown
@@ -96,7 +98,18 @@ def _bench_train(cfg, batch_size, canvas, n_steps=10, with_masks=False):
         state, m = jstep(state, batch)
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n_steps
+    del state, m, batch, jstep, compiled
     return dt, flops
+
+
+def _release_device_memory():
+    """Free executables + buffers between rows so one chip fits the whole
+    table (each row's params/opt-states would otherwise accumulate)."""
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
 
 def _bench_eval(cfg, batch_size, canvas):
@@ -144,11 +157,16 @@ def main():
         ("lgd_fcos_r50", f"{REF}/FCOS/fcos_R_50*.yaml", ()),
         ("lgd_faster_rcnn_r50", f"{REF}/FasterRCNN/faster_rcnn_R_50*.yaml",
          ("MODEL.RPN.POST_NMS_TOPK_TRAIN", "512")),
+        ("lgd_retinanet_r101_dcnv2",
+         f"{REF}/RetinaNet/retinanet_R_101_dcnv2*.yaml", ()),
+        ("lgd_retinanet_swin_t",
+         f"{REF}/RetinaNet/retinanet_Swin_Tiny*.yaml", ()),
     ]
     canvas = 640
     for name, pattern, extra in rows:
         for batch_size in (16, 8, 4):
             try:
+                _release_device_memory()
                 cfg = _ref_cfg(pattern, extra)
                 dt, flops = _bench_train(cfg, batch_size, canvas)
                 row = {
@@ -164,11 +182,13 @@ def main():
                     primary = row
                 break
             except Exception as e:  # noqa: BLE001 - smaller batch fallback
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                errors[f"{name}@bs{batch_size}"] = (
+                    f"{type(e).__name__}: {e}"[:200])
                 continue
 
     # eval-path throughput (flagship config, batched canvas)
     try:
+        _release_device_memory()
         cfg = _ref_cfg(f"{REF}/RetinaNet/retinanet_R_50*.yaml")
         dt = _bench_eval(cfg, 8, canvas)
         table["lgd_retinanet_r50_eval"] = {

@@ -128,9 +128,14 @@ class RCNNCT(nn.Module):
         losses.update(fast_rcnn_losses(cfg, scores, box_deltas, sampled, gt))
         if self.mask_on and (gt.mask_crops is not None
                              or gt.bitmasks is not None):
+            from .roi_heads import take_fg_subset
+
+            k = max(int(cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+                        * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION), 1)
+            sub = take_fg_subset(sampled, k)
             mask_logits = self.roi_heads.mask_forward(
-                feats, sampled["boxes"], sampled["is_fg"])
-            losses["loss_mask"] = mask_rcnn_loss(cfg, mask_logits, sampled, gt)
+                feats, sub["boxes"], sub["is_fg"])
+            losses["loss_mask"] = mask_rcnn_loss(cfg, mask_logits, sub, gt)
         return losses
 
     def infer_boxes(self, feats, image_sizes):

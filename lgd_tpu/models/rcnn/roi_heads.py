@@ -164,6 +164,26 @@ def fast_rcnn_losses(cfg, scores, deltas, sampled, gt: BatchedInstances):
     return {"loss_cls": loss_cls, "loss_box_reg": loss_reg}
 
 
+def take_fg_subset(sampled, k: int):
+    """Static (B, k) foreground-first subset of the sampled proposals for
+    the mask head: detectron2 runs mask loss on fg proposals only; the
+    sampler caps fg at BATCH_SIZE_PER_IMAGE * POSITIVE_FRACTION = k, so a
+    top-k on the fg mask captures every foreground slot exactly — the mask
+    head then runs on k ROIs instead of all S (4x less pooling/compute at
+    the defaults)."""
+    score = sampled["is_fg"].astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, k)  # fg first; ties keep lowest index
+    take2 = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    return {
+        "boxes": jnp.take_along_axis(sampled["boxes"], idx[..., None],
+                                     axis=1),
+        "classes": take2(sampled["classes"]),
+        "matched_gt": take2(sampled["matched_gt"]),
+        "valid": take2(sampled["valid"]),
+        "is_fg": take2(sampled["is_fg"]),
+    }
+
+
 def crop_bitmasks(bitmasks, matched_gt, boxes, out: int, stride: int):
     """Bilinear-sample each matched GT bitmask over its proposal box grid ->
     (B, S, out, out) float targets (detectron2 crop_and_resize equivalent on

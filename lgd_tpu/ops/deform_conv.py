@@ -15,6 +15,7 @@ already sigmoid-activated by the caller.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,45 +68,54 @@ def deform_conv2d_params(
     base_y = jnp.asarray(np.broadcast_to(base_y, (Ho, Wo, K)), jnp.float32)
     base_x = jnp.asarray(np.broadcast_to(base_x, (Ho, Wo, K)), jnp.float32)
 
-    off = offsets.reshape(B, Ho, Wo, K, 2).astype(jnp.float32)
-    py = base_y[None] + off[..., 0]   # (B, Ho, Wo, K)
-    px = base_x[None] + off[..., 1]
-
-    y0 = jnp.floor(py)
-    x0 = jnp.floor(px)
-    wy = py - y0
-    wx = px - x0
-
-    x_flat = x.reshape(B, H * W, C)
     P = Ho * Wo * K
 
-    def corner(yc, xc):
-        iy = yc.astype(jnp.int32)
-        ix = xc.astype(jnp.int32)
-        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        return _gather_bhwc(
-            x_flat, idx.reshape(B, P), H, W, valid.reshape(B, P)
-        )
+    # The bilinear-sample stage is wrapped in jax.checkpoint: its backward
+    # would otherwise keep the four (B, P, C) corner gathers + fractional
+    # weights alive per DCN block (23 blocks in R-101-DCNv2 -> tens of GB
+    # of residuals); recomputing the gathers in the backward pass costs a
+    # few extra gather ops and keeps only (x, offsets, mask) live.
+    @jax.checkpoint
+    def bilinear_sample(x, offsets, mask):
+        off = offsets.reshape(B, Ho, Wo, K, 2).astype(jnp.float32)
+        py = base_y[None] + off[..., 0]   # (B, Ho, Wo, K)
+        px = base_x[None] + off[..., 1]
 
-    g00 = corner(y0, x0)
-    g01 = corner(y0, x0 + 1)
-    g10 = corner(y0 + 1, x0)
-    g11 = corner(y0 + 1, x0 + 1)
+        y0 = jnp.floor(py)
+        x0 = jnp.floor(px)
+        wy = py - y0
+        wx = px - x0
 
-    wy = wy.reshape(B, P, 1).astype(g00.dtype)
-    wx = wx.reshape(B, P, 1).astype(g00.dtype)
-    sampled = (
-        g00 * (1 - wy) * (1 - wx)
-        + g01 * (1 - wy) * wx
-        + g10 * wy * (1 - wx)
-        + g11 * wy * wx
-    )  # (B, P, C)
+        x_flat = x.reshape(B, H * W, C)
 
-    if mask is not None:
-        sampled = sampled * mask.reshape(B, P, 1).astype(sampled.dtype)
+        def corner(yc, xc):
+            iy = yc.astype(jnp.int32)
+            ix = xc.astype(jnp.int32)
+            valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+            return _gather_bhwc(
+                x_flat, idx.reshape(B, P), H, W, valid.reshape(B, P)
+            )
 
-    sampled = sampled.reshape(B, Ho * Wo, K, C).astype(dtype)
+        g00 = corner(y0, x0)
+        g01 = corner(y0, x0 + 1)
+        g10 = corner(y0 + 1, x0)
+        g11 = corner(y0 + 1, x0 + 1)
+
+        wy = wy.reshape(B, P, 1).astype(g00.dtype)
+        wx = wx.reshape(B, P, 1).astype(g00.dtype)
+        sampled = (
+            g00 * (1 - wy) * (1 - wx)
+            + g01 * (1 - wy) * wx
+            + g10 * wy * (1 - wx)
+            + g11 * wy * wx
+        )  # (B, P, C)
+
+        if mask is not None:
+            sampled = sampled * mask.reshape(B, P, 1).astype(sampled.dtype)
+        return sampled.reshape(B, Ho * Wo, K, C).astype(dtype)
+
+    sampled = bilinear_sample(x, offsets, mask)
     w = weight.astype(dtype)
     if groups == 1:
         out = jnp.einsum(

@@ -52,6 +52,7 @@ def multilevel_roi_align(
     aligned: bool = True,
     sampling_ratio: int = 0,
     s_max: int = 4,
+    roi_chunk: int = 64,
 ) -> jax.Array:
     """features: per-level (B, Hi, Wi, C) list; boxes: (B, P, 4) in input
     coords; box_valid: (B, P). Returns (B, P, out, out, C).
@@ -59,12 +60,38 @@ def multilevel_roi_align(
     sampling_ratio > 0: fixed grid of that many samples per bin axis
     (detectron2 semantics). sampling_ratio == 0: adaptive ceil(bin) grid,
     realized statically as an s_max-slot masked grid (see module docstring).
+
+    roi_chunk bounds peak memory: the 4 bilinear corner gathers materialize
+    (B, chunk, out*S, out*S, C) workspaces, so pooling sweeps the ROI axis
+    in lax.map chunks (512 ROIs x 14x14 x 256ch would otherwise peak at
+    many GB and OOM a 16 GB chip mid-train-step).
     """
-    B, P, _ = boxes.shape
+    B, P0, _ = boxes.shape
     C = features[0].shape[-1]
     L = len(features)
     out = output_size
     S = sampling_ratio if sampling_ratio > 0 else s_max
+
+    if roi_chunk and P0 > roi_chunk:
+        pad = (-P0) % roi_chunk
+        if pad:
+            boxes = jnp.concatenate(
+                [boxes, jnp.zeros((B, pad, 4), boxes.dtype)], axis=1)
+            box_valid = jnp.concatenate(
+                [box_valid, jnp.zeros((B, pad), bool)], axis=1)
+        nc = boxes.shape[1] // roi_chunk
+        boxes_c = boxes.reshape(B, nc, roi_chunk, 4).transpose(1, 0, 2, 3)
+        valid_c = box_valid.reshape(B, nc, roi_chunk).transpose(1, 0, 2)
+        pooled = jax.lax.map(
+            lambda args: multilevel_roi_align(
+                features, args[0], args[1], strides, output_size,
+                min_level, aligned, sampling_ratio, s_max, roi_chunk=0),
+            (boxes_c, valid_c),
+        )  # (nc, B, chunk, out, out, C)
+        pooled = pooled.transpose(1, 0, 2, 3, 4, 5).reshape(
+            B, nc * roi_chunk, out, out, C)
+        return pooled[:, :P0]
+    P = P0
 
     # flatten + concat levels along the pixel axis
     flat = [f.reshape(B, -1, C) for f in features]

@@ -1,0 +1,73 @@
+"""Worker for the multi-process DP integration test (launched as a
+subprocess by test_multiprocess_dp.py): one LGD train step over a mesh
+spanning 2 processes x 2 CPU devices, batch assembled from process-local
+slices (the reference's per-rank DDP split, train.py:277-310)."""
+
+import json
+import os
+import sys
+
+
+def main():
+    rank = int(sys.argv[1])
+    nprocs = int(sys.argv[2])
+    port = sys.argv[3]
+    out_path = sys.argv[4]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2 "
+        "--xla_backend_optimization_level=0 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=600")
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    import jax
+
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nprocs,
+                               process_id=rank)
+    assert jax.process_index() == rank
+    assert jax.device_count() == 2 * nprocs
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cfg
+    from lgd_tpu.data import make_synthetic_batch
+    from lgd_tpu.engine import jit_train_step, make_train_step
+    from lgd_tpu.models.distillator import build_model
+    from lgd_tpu.parallel import make_mesh, shard_batch
+    from lgd_tpu.parallel.mesh import allgather_object
+
+    cfg = _cfg(depth=18, max_inst=4, tiny=True, attn_impl="reference")
+    model = build_model(cfg, dtype=jnp.float32)
+
+    # identical global batch everywhere; this process owns rows
+    # [rank*2, rank*2+2) — exactly what TrainLoader(rank, world) yields
+    gbatch = make_synthetic_batch(batch_size=2 * nprocs,
+                                  canvas_hw=(64, 64), max_instances=4,
+                                  seed=0)
+    local = jax.tree.map(
+        lambda x: x[rank * 2:(rank + 1) * 2]
+        if getattr(x, "ndim", 0) > 0 else x, gbatch)
+
+    init_state, train_step = make_train_step(cfg, model)
+    state = init_state(jax.random.PRNGKey(0), gbatch)
+
+    mesh = make_mesh(("data",), devices=jax.devices())
+    sharded = shard_batch(local, mesh)  # global assembly across processes
+    jstep = jit_train_step(train_step, mesh, gbatch)
+    new_state, metrics = jstep(state, sharded)
+    jax.block_until_ready(metrics)
+    out = {k: float(v) for k, v in metrics.items()}
+
+    ranks = allgather_object({"rank": rank})
+    assert [r["rank"] for r in ranks] == list(range(nprocs)), ranks
+
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"[{rank}] MP_WORKER_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

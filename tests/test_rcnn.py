@@ -76,6 +76,9 @@ def test_subsample_labels_few_positives():
 def make_rcnn_cfg(mask_on=False):
     cfg = get_cfg()
     cfg.MODEL.META_ARCHITECTURE = "DistillatorGeneralizedRCNN"
+    # the default BACKBONE.NAME is the C4 trunk (detectron2 default);
+    # this test runs the FPN stack like Base-RCNN-FPN.yaml
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
     cfg.MODEL.MASK_ON = mask_on
     cfg.MODEL.RESNETS.DEPTH = 18
     cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
