@@ -237,7 +237,10 @@ _C.TPU.MAX_INSTANCES = 100          # padded GT capacity per image
 _C.TPU.COMPUTE_DTYPE = "bfloat16"   # conv/matmul compute dtype
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.MESH_AXES = ("data",)
-_C.TPU.PAD_SIZE_DIVISIBILITY = 128  # canvas padding multiple (XLA-friendly)
+_C.TPU.PAD_SIZE_DIVISIBILITY = 32   # canvas padding multiple. 32 matches
+# detectron2's size_divisibility; every level grid is ceil(canvas/stride),
+# so p6/p7 (strides 64/128) don't need a larger multiple. 128 padded the
+# reference 800x1333 resolution to 896x1408 = +11% wasted conv compute.
 _C.TPU.TRAIN_CANVAS = ()            # override (H, W); () -> derived from INPUT
 _C.TPU.EVAL_CANVAS = ()
 _C.TPU.SEGMASK_STRIDE = 8           # host rasterizes GT masks at this stride

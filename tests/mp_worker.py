@@ -19,6 +19,10 @@ def main():
         "--xla_force_host_platform_device_count=2 "
         "--xla_backend_optimization_level=0 "
         "--xla_cpu_collective_call_terminate_timeout_seconds=600")
+    # both ranks compile the identical program on one shared core; the
+    # persistent cache lets rank 1 (and every rerun) reuse rank 0's compile
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_mp_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)

@@ -145,6 +145,6 @@ def test_train_loader_end_to_end(mini_coco):
     b2 = next(it)
     for b in (b1, b2):
         assert b["image"].ndim == 4 and b["image"].shape[0] == 2
-        # canvas is one of the two aspect buckets: short edge 320 padded to
-        # the default TPU.PAD_SIZE_DIVISIBILITY=128 -> 384
-        assert b["image"].shape[1:3] in {(384, 512), (512, 384)}
+        # canvas is one of the two aspect buckets: short edge 320 already a
+        # multiple of the default TPU.PAD_SIZE_DIVISIBILITY=32
+        assert b["image"].shape[1:3] in {(320, 512), (512, 320)}

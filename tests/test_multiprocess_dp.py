@@ -41,7 +41,9 @@ def test_two_process_dp_matches_single_process(tmp_path):
             text=True))
     logs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1200)
+        # generous: two concurrent full-step compiles share ONE core, and
+        # the rest of the suite may be running alongside
+        out, _ = p.communicate(timeout=2700)
         logs.append(out)
     for r, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"rank {r} failed:\n{log[-4000:]}"
