@@ -206,18 +206,23 @@ def main():
     # included) runs sequentially in its own time-boxed subprocess, so one
     # pathological remote compile (Swin/DCNv2/R-CNN graphs have hit tens
     # of minutes) cannot starve the primary metric. stderr = progress only.
-    # persistent compilation cache: each row is a fresh process, and the
-    # driver re-runs bench at round end — cached executables turn ~5 min
-    # compiles into seconds on every run after the first
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/jax_bench_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    # NOTE: do NOT enable the persistent JAX compilation cache here — with
+    # the axon remote-compile tunnel it more than doubles compile time
+    # (measured: the primary row went from ~5 min to >15 min and every row
+    # timed out), so each process pays its plain compiles instead.
+    os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
-    if len(sys.argv) == 3 and sys.argv[1] == "--row":
-        row, errors, device_kind, peak = _run_row(sys.argv[2])
-        print(json.dumps({"row": row, "errors": errors,
-                          "device": device_kind,
-                          "peak": peak}))
+    # --rows a,b,c: worker mode. Runs the named rows sequentially IN ONE
+    # process (fresh processes pay ~3 min of tunnel/runtime warmup per row)
+    # and streams one JSON line per completed row, so the parent keeps
+    # whatever finished even if it must kill the worker.
+    if len(sys.argv) == 3 and sys.argv[1] == "--rows":
+        for name in sys.argv[2].split(","):
+            row, errs, device_kind, peak = _run_row(name)
+            print(json.dumps({"name": name, "row": row, "errors": errs,
+                              "device": device_kind, "peak": peak}),
+                  flush=True)
+            print(f"bench: row {name} done", file=sys.stderr, flush=True)
         return
 
     import subprocess
@@ -227,39 +232,48 @@ def main():
     device_kind = None
     peak = 197e12
 
-    budget = time.monotonic() + float(os.environ.get("BENCH_EXTRA_BUDGET_S",
-                                                     1800))
-
-    def run_one(name, timeout_s):
+    def ingest(stdout_text):
         nonlocal device_kind, peak
-        print(f"bench: row {name} (timeout {int(timeout_s)}s)",
-              file=sys.stderr, flush=True)
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--row", name],
-                capture_output=True, text=True, timeout=timeout_s,
-            )
-            out = json.loads(r.stdout.strip().splitlines()[-1])
+        for line in (stdout_text or "").splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                out = json.loads(line)
+            except ValueError:
+                continue
             if out.get("row"):
-                table[name] = out["row"]
+                table[out["name"]] = out["row"]
             errors.update(out.get("errors") or {})
             device_kind = out.get("device") or device_kind
             peak = out.get("peak") or peak
-        except subprocess.TimeoutExpired:
-            errors[name] = f"timeout after {int(timeout_s)}s (row killed)"
-            time.sleep(60)  # let the TPU tunnel recover from the kill
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    run_one("lgd_retinanet_r50", 900)
-    for name in list(ROWS):
-        if name == "lgd_retinanet_r50":
-            continue
-        remaining = budget - time.monotonic()
-        if remaining < 120:
-            errors.setdefault(name, "skipped: extra-row budget exhausted")
-            continue
-        run_one(name, min(remaining, 480))
+    def run_group(names, timeout_s):
+        print(f"bench: rows {names} (timeout {int(timeout_s)}s)",
+              file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--rows",
+                 ",".join(names)],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            ingest(r.stdout)
+        except subprocess.TimeoutExpired as e:
+            out = e.output
+            ingest(out.decode() if isinstance(out, bytes) else out)
+            for n in names:
+                if n not in table:
+                    errors.setdefault(n, f"worker killed at {timeout_s}s "
+                                         "before this row finished")
+        except Exception as e:  # noqa: BLE001
+            for n in names:
+                errors.setdefault(n, f"{type(e).__name__}: {e}"[:200])
+
+    # the primary metric gets its own guaranteed slot; everything else
+    # shares one warm worker under the extras budget
+    run_group(["lgd_retinanet_r50"], 900)
+    extras = [n for n in ROWS if n != "lgd_retinanet_r50"]
+    run_group(extras, float(os.environ.get("BENCH_EXTRA_BUDGET_S", 1800)))
     primary = table.get("lgd_retinanet_r50")
 
     if primary is None:

@@ -100,7 +100,8 @@ def atss_ground_truth(cfg, shifts, level_counts, shift_strides,
         )
         return gt_classes_i, gt_deltas_i, ctr
 
-    return jax.lax.map(per_image, (gt.boxes, gt.classes, gt.valid))
+    return jax.vmap(lambda b, c, v: per_image((b, c, v)))(
+        gt.boxes, gt.classes, gt.valid)
 
 
 def atss_losses(cfg, gt_classes, gt_deltas, gt_centerness,

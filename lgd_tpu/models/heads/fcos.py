@@ -249,7 +249,8 @@ def fcos_ground_truth(cfg, shifts, shift_strides, soi_lo, soi_hi,
         )
         return gt_classes_i, gt_deltas_i, ctr
 
-    return jax.lax.map(per_image, (gt.boxes, gt.classes, gt.valid))
+    return jax.vmap(lambda b, c, v: per_image((b, c, v)))(
+        gt.boxes, gt.classes, gt.valid)
 
 
 def fcos_losses(cfg, gt_classes, gt_deltas, gt_centerness,
@@ -326,6 +327,6 @@ def fcos_inference(cfg, pred_logits, pred_deltas, pred_ctr, shifts,
         keep = batched_nms_mask(boxes, scores, classes, valid, nms_thresh)
         return topk_detections(boxes, scores, classes, keep, max_dets)
 
-    b, s, c, v = jax.lax.map(per_image,
+    b, s, c, v = jax.vmap(lambda l, d, ct, hw: per_image((l, d, ct, hw)))(
                              (pred_logits, pred_deltas, pred_ctr, image_sizes))
     return BatchedDetections(boxes=b, scores=s, classes=c, valid=v)

@@ -206,15 +206,15 @@ def poto_ground_truth(cfg, shifts, shift_strides, gt: BatchedInstances,
 
         return jnp.where(is_in & valid[:, None], quality, -INF)
 
-    quality = jax.lax.map(
-        quality_fn,
-        (gt.boxes, gt.classes, gt.valid, pred_logits, pred_deltas),
+    quality = jax.vmap(
+        lambda b, c, v, l, d: quality_fn((b, c, v, l, d)))(
+        gt.boxes, gt.classes, gt.valid, pred_logits, pred_deltas
     )  # (B, M, R)
 
     if getattr(cfg.MODEL.POTO, "ASSIGNMENT", "greedy") == "hungarian":
         assign = hungarian_one_to_one(quality)  # (B, M)
     else:
-        assign = jax.lax.map(greedy_one_to_one, quality)
+        assign = jax.vmap(greedy_one_to_one)(quality)
 
     R = shifts.shape[0]
 
@@ -231,7 +231,8 @@ def poto_ground_truth(cfg, shifts, shift_strides, gt: BatchedInstances,
             tgt, mode="drop")
         return gt_classes_i, gt_deltas_i
 
-    return jax.lax.map(targets_fn, (assign, gt.boxes, gt.classes))
+    return jax.vmap(lambda a, b, c: targets_fn((a, b, c)))(
+        assign, gt.boxes, gt.classes)
 
 
 def poto_losses(cfg, gt_classes, gt_deltas, pred_logits, pred_deltas):
@@ -301,6 +302,6 @@ def poto_inference(cfg, pred_logits, pred_deltas, shifts, level_counts,
             keep = batched_nms_mask(boxes, scores, classes, valid, nms_thresh)
         return topk_detections(boxes, scores, classes, keep, max_dets)
 
-    b, s, c, v = jax.lax.map(per_image,
-                             (pred_logits, pred_deltas, image_sizes))
+    b, s, c, v = jax.vmap(lambda l, d, hw: per_image((l, d, hw)))(
+        pred_logits, pred_deltas, image_sizes)
     return BatchedDetections(boxes=b, scores=s, classes=c, valid=v)

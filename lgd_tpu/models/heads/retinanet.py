@@ -220,7 +220,8 @@ def label_anchors(cfg, anchors, gt: BatchedInstances):
         return gt_labels_i.astype(jnp.int32), matched_boxes_i
 
     # lax.map bounds the (M, R) IoU workspace to one image at a time.
-    return jax.lax.map(per_image, (gt.boxes, gt.classes, gt.valid))
+    return jax.vmap(lambda b, c, v: per_image((b, c, v)))(
+        gt.boxes, gt.classes, gt.valid)
 
 
 def retinanet_losses(cfg, pred_logits, pred_deltas, gt_labels, gt_boxes,
@@ -317,7 +318,6 @@ def retinanet_inference(cfg, pred_logits, pred_deltas, anchors, level_counts,
         keep = batched_nms_mask(boxes, scores, classes, valid, nms_thresh)
         return topk_detections(boxes, scores, classes, keep, max_dets)
 
-    b, s, c, v = jax.lax.map(
-        per_image, (pred_logits, pred_deltas, image_sizes)
-    )
+    b, s, c, v = jax.vmap(lambda l, d, hw: per_image((l, d, hw)))(
+        pred_logits, pred_deltas, image_sizes)
     return BatchedDetections(boxes=b, scores=s, classes=c, valid=v)

@@ -124,9 +124,9 @@ def label_and_sample_proposals(cfg, proposals, prop_valid, gt, rng):
         return (props[idx], cls[idx].astype(jnp.int32), matches[idx],
                 top > 0.0, pos_sel[idx])
 
-    boxes, classes, matched, valid, is_fg = jax.lax.map(
-        per_image, (proposals, prop_valid, gt.boxes, gt.classes, gt.valid,
-                    rngs))
+    boxes, classes, matched, valid, is_fg = jax.vmap(
+        lambda p, pv, b, c, v, r: per_image((p, pv, b, c, v, r)))(
+        proposals, prop_valid, gt.boxes, gt.classes, gt.valid, rngs)
     return {"boxes": boxes, "classes": classes, "matched_gt": matched,
             "valid": valid, "is_fg": is_fg & valid}
 
@@ -334,8 +334,9 @@ def fast_rcnn_inference(cfg, scores, deltas, proposals, prop_valid,
         keep = batched_nms_mask(b, top_s, c, v, nms_thresh)
         return topk_detections(b, top_s, c, keep, max_dets)
 
-    b, s, c, v = jax.lax.map(
-        per_image, (scores, deltas, proposals, prop_valid, image_sizes))
+    b, s, c, v = jax.vmap(
+        lambda sc, dl, p, pv, hw: per_image((sc, dl, p, pv, hw)))(
+        scores, deltas, proposals, prop_valid, image_sizes)
     return BatchedDetections(boxes=b, scores=s, classes=c, valid=v)
 
 

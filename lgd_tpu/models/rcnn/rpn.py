@@ -100,7 +100,7 @@ def label_rpn_anchors(cfg, anchors, gt: BatchedInstances):
         matches, match_labels = matcher(iou, valid)
         return match_labels.astype(jnp.int32), boxes[matches]
 
-    return jax.lax.map(per_image, (gt.boxes, gt.valid))
+    return jax.vmap(lambda b, v: per_image((b, v)))(gt.boxes, gt.valid)
 
 
 def rpn_losses(cfg, pred_logits, pred_deltas, gt_labels, matched_boxes,
@@ -173,7 +173,8 @@ def generate_proposals(cfg, pred_logits, pred_deltas, anchors, level_counts,
         out_s, out_i = jax.lax.top_k(jnp.where(keep, top_s, -1e10), post_k)
         return boxes[out_i], out_s, out_s > -1e9
 
-    b, s, v = jax.lax.map(per_image, (pred_logits, pred_deltas, image_sizes))
+    b, s, v = jax.vmap(lambda l, d, hw: per_image((l, d, hw)))(
+        pred_logits, pred_deltas, image_sizes)
     return b, s, v
 
 
