@@ -273,7 +273,9 @@ def main():
     # shares one warm worker under the extras budget
     run_group(["lgd_retinanet_r50"], 900)
     extras = [n for n in ROWS if n != "lgd_retinanet_r50"]
-    run_group(extras, float(os.environ.get("BENCH_EXTRA_BUDGET_S", 1800)))
+    # default total (900s primary + extras) stays inside plausible outer
+    # timeouts — if a wrapper kills the parent first, nothing is recorded
+    run_group(extras, float(os.environ.get("BENCH_EXTRA_BUDGET_S", 1200)))
     primary = table.get("lgd_retinanet_r50")
 
     if primary is None:
