@@ -151,7 +151,10 @@ CANVAS = 640
 
 # name -> (yaml glob, config overrides, batch ladder). Heavy rows start
 # at batch 8: every OOM attempt costs a full (remote) compile, and the
-# reference itself trains R-CNN at 2 img/GPU.
+# reference itself trains R-CNN at 2 img/GPU. The reference ships no POTO
+# YAML; the POTO rows reuse the FCOS base (same backbone/solver family,
+# thirdparty_heads/poto.py shares the FCOS tower) and quantify the
+# Hungarian host-callback's step-time cost vs the on-device greedy variant.
 ROWS = {
     "lgd_retinanet_r50": (f"{REF}/RetinaNet/retinanet_R_50*.yaml", (),
                           (16, 8, 4)),
@@ -165,6 +168,14 @@ ROWS = {
         f"{REF}/RetinaNet/retinanet_Swin_Tiny*.yaml", (), (8, 4)),
     "lgd_retinanet_r50_eval": (f"{REF}/RetinaNet/retinanet_R_50*.yaml", (),
                                (8,)),
+    "lgd_poto_r50_hungarian": (
+        f"{REF}/FCOS/fcos_R_50*.yaml",
+        ("MODEL.META_ARCHITECTURE", "DistillatorPOTO",
+         "MODEL.POTO.ASSIGNMENT", "hungarian"), (8,)),
+    "lgd_poto_r50_greedy": (
+        f"{REF}/FCOS/fcos_R_50*.yaml",
+        ("MODEL.META_ARCHITECTURE", "DistillatorPOTO",
+         "MODEL.POTO.ASSIGNMENT", "greedy"), (8,)),
 }
 
 
@@ -248,6 +259,36 @@ def main():
             device_kind = out.get("device") or device_kind
             peak = out.get("peak") or peak
 
+    def emit():
+        """Print the full result line NOW and flush. Called after every
+        group: the driver keeps the LAST parseable stdout line, so a later
+        timeout can only lose not-yet-benched extras, never what already
+        ran (round-2 lesson: BENCH_r02.json was rc=124/parsed:null because
+        the single JSON line was printed only at the very end)."""
+        primary = table.get("lgd_retinanet_r50")
+        if primary is None:
+            print(json.dumps({
+                "metric": "lgd_retinanet_r50_train_imgs_per_sec_per_chip",
+                "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+                "error": json.dumps(errors)[:800],
+            }), flush=True)
+            return
+        img_s = primary["imgs_per_sec_per_chip"]
+        print(json.dumps({
+            "metric": "lgd_retinanet_r50_train_imgs_per_sec_per_chip",
+            "value": img_s,
+            "unit": "images/sec/chip",
+            "vs_baseline": round(img_s / BASELINE_IMG_PER_S_PER_GPU, 2),
+            "detail": {
+                "device": device_kind,
+                "peak_bf16_tflops": round(peak / 1e12, 1),
+                "canvas": CANVAS,
+                "table": table,
+                "errors": errors or None,
+            },
+        }), flush=True)
+        _write_bench_table(table, errors, device_kind, peak)
+
     def run_group(names, timeout_s):
         print(f"bench: rows {names} (timeout {int(timeout_s)}s)",
               file=sys.stderr, flush=True)
@@ -268,38 +309,49 @@ def main():
         except Exception as e:  # noqa: BLE001
             for n in names:
                 errors.setdefault(n, f"{type(e).__name__}: {e}"[:200])
+        emit()
 
-    # the primary metric gets its own guaranteed slot; everything else
-    # shares one warm worker under the extras budget
+    # The primary metric gets its own guaranteed slot and its result line
+    # is flushed before any extra row starts; extras run in small groups,
+    # each followed by a refreshed (superset) result line.
     run_group(["lgd_retinanet_r50"], 900)
     extras = [n for n in ROWS if n != "lgd_retinanet_r50"]
-    # default total (900s primary + extras) stays inside plausible outer
-    # timeouts — if a wrapper kills the parent first, nothing is recorded
-    run_group(extras, float(os.environ.get("BENCH_EXTRA_BUDGET_S", 1200)))
-    primary = table.get("lgd_retinanet_r50")
+    group_budget = float(os.environ.get("BENCH_EXTRA_BUDGET_S", 900))
+    for i in range(0, len(extras), 3):
+        run_group(extras[i:i + 3], group_budget)
 
-    if primary is None:
-        print(json.dumps({
-            "metric": "lgd_retinanet_r50_train_imgs_per_sec_per_chip",
-            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
-            "error": json.dumps(errors)[:800],
-        }))
+    if table.get("lgd_retinanet_r50") is None:
         sys.exit(1)
 
-    img_s = primary["imgs_per_sec_per_chip"]
-    print(json.dumps({
-        "metric": "lgd_retinanet_r50_train_imgs_per_sec_per_chip",
-        "value": img_s,
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / BASELINE_IMG_PER_S_PER_GPU, 2),
-        "detail": {
-            "device": device_kind,
-            "peak_bf16_tflops": round(peak / 1e12, 1),
-            "canvas": CANVAS,
-            "table": table,
-            "errors": errors or None,
-        },
-    }))
+
+def _write_bench_table(table, errors, device_kind, peak):
+    """Persist every completed row to BENCH_TABLE.md so the perf record
+    survives independently of the driver's JSON capture."""
+    try:
+        lines = [
+            "# Bench table (auto-written by bench.py)", "",
+            f"Device: {device_kind} (peak bf16 {peak / 1e12:.0f} TFLOP/s); "
+            f"canvas {CANVAS}x{CANVAS}; synthetic batches, 32 instances.", "",
+            "| row | img/s/chip | step ms | batch | TFLOPs/step | MFU |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, row in sorted(table.items()):
+            lines.append(
+                "| {} | {} | {} | {} | {} | {} |".format(
+                    name, row.get("imgs_per_sec_per_chip", "-"),
+                    row.get("step_ms", "-"), row.get("batch_size", "-"),
+                    row.get("tflops_per_step", "-"),
+                    ("{:.1%}".format(row["mfu"]) if "mfu" in row else "-")))
+        if errors:
+            lines += ["", "Errors:", ""]
+            lines += [f"- `{k}`: {v}" for k, v in sorted(errors.items())]
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_TABLE.md")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    except Exception as e:  # noqa: BLE001 - never let reporting kill bench
+        print(f"bench: BENCH_TABLE.md write failed: {e}", file=sys.stderr,
+              flush=True)
 
 
 if __name__ == "__main__":

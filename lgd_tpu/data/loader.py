@@ -296,10 +296,10 @@ class TestLoader:
     def __init__(self, cfg, dataset_name: str, mapper=None,
                  batch_size: int = 1, rank: int = 0, world_size: int = 1):
         self.cfg = cfg
-        dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
-        # InferenceSampler semantics: contiguous-ish per-rank split via
-        # strided indexing (reference utils/build.py:369-412)
-        self.dataset_dicts = dicts[rank::world_size]
+        self._all_dicts = get_detection_dataset_dicts([dataset_name],
+                                                      filter_empty=False)
+        self.rank = rank
+        self.world_size = world_size
         self.mapper = mapper or DatasetMapper(cfg, is_train=False)
         self.batch_size = batch_size
         self.canvas_landscape, self.canvas_portrait = eval_canvas_shapes(cfg)
@@ -308,9 +308,38 @@ class TestLoader:
             cfg.TPU.SEGMASK_STRIDE
             if cfg.MODEL.DISTILLATOR.LABEL_ENCODER.LOAD_LABELMAP else None
         )
+        self._sched = self._schedule()
+
+    def _schedule(self):
+        """Rank-invariant global batch schedule, computed from the dataset
+        dicts' width/height metadata (no image reads): a list of
+        (bucket, [global indices]) groups of global size
+        ``batch_size * world_size``. Every rank derives the identical
+        sequence, so in multi-process eval all ranks dispatch the same
+        canvas-shaped programs in lockstep (replacing the reference's
+        independent per-rank InferenceSampler shards,
+        utils/build.py:369-412, which a lockstep SPMD jit cannot use)."""
+        gbs = self.batch_size * self.world_size
+        buckets = {0: [], 1: []}
+        sched = []
+        for i, d in enumerate(self._all_dicts):
+            b = 0 if d.get("width", 1) >= d.get("height", 0) else 1
+            buckets[b].append(i)
+            if len(buckets[b]) == gbs:
+                sched.append((b, buckets[b]))
+                buckets[b] = []
+        for b in (0, 1):
+            if buckets[b]:
+                sched.append((b, buckets[b]))
+        return sched
 
     def __len__(self):
-        return len(self.dataset_dicts)
+        """Images this rank actually processes (real, non-padding slots)."""
+        n = 0
+        lbs = self.batch_size
+        for _, idxs in self._sched:
+            n += len(idxs[self.rank * lbs:(self.rank + 1) * lbs])
+        return n
 
     def _dummy_sample(self):
         return {
@@ -332,18 +361,14 @@ class TestLoader:
 
     def __iter__(self):
         rng = np.random.RandomState(0)
-        buckets = {0: [], 1: []}
+        lbs = self.batch_size
         canvases = {0: self.canvas_landscape, 1: self.canvas_portrait}
-        for d in self.dataset_dicts:
-            s = self.mapper(d, rng)
-            if s is None:
-                continue
-            h, w = s["image"].shape[:2]
-            b = 0 if w >= h else 1
-            buckets[b].append(s)
-            if len(buckets[b]) == self.batch_size:
-                yield self._flush(buckets[b], canvases[b])
-                buckets[b] = []
-        for b in (0, 1):
-            if buckets[b]:
-                yield self._flush(buckets[b], canvases[b])
+        for b, idxs in self._sched:
+            mine = idxs[self.rank * lbs:(self.rank + 1) * lbs]
+            samples = []
+            for i in mine:
+                s = self.mapper(self._all_dicts[i], rng)
+                if s is None:  # unreadable image: keep the schedule intact
+                    s = self._dummy_sample()
+                samples.append(s)
+            yield self._flush(samples, canvases[b])

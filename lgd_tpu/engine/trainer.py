@@ -37,6 +37,33 @@ def _strip_meta(batch):
     return {k: v for k, v in batch.items() if not k.startswith("_")}
 
 
+# (model, mesh) -> jitted inference fn. do_test runs every EVAL_PERIOD (and
+# again for the teacher branch right after); a per-call closure would retrace
+# and recompile the identical program each time. The cache keeps a strong ref
+# to the model so id() keys can never be reused by a new object.
+_INFER_CACHE = {}
+
+
+def _get_infer(model, mesh):
+    key = (id(model), tuple(mesh.devices.flat))
+    hit = _INFER_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    if len(_INFER_CACHE) > 8:
+        _INFER_CACHE.clear()
+    bs = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    @functools.partial(jax.jit, static_argnums=(4,),
+                       in_shardings=(rep, bs, bs, bs), out_shardings=rep)
+    def infer(variables, image, image_size, gt, eval_teacher):
+        return model.apply(variables, image, image_size, gt,
+                           eval_teacher, method=model.inference)
+
+    _INFER_CACHE[key] = (model, infer)
+    return infer
+
+
 def do_test(cfg, model, variables, eval_teacher: bool = False,
             batch_size: Optional[int] = None) -> Dict:
     """COCO evaluation of the current parameters; optionally routes teacher
@@ -54,9 +81,7 @@ def do_test(cfg, model, variables, eval_teacher: bool = False,
     if batch_size is None:
         batch_size = max(1, n_dev // world) if world > 1 else n_dev
     mesh = make_mesh(("data",), devices=jax.devices()[: batch_size * world])
-    bs, rep = (jax.sharding.NamedSharding(mesh, p) for p in
-               (jax.sharding.PartitionSpec("data"),
-                jax.sharding.PartitionSpec()))
+    infer = _get_infer(model, mesh)
 
     results = {}
     for dataset_name in cfg.DATASETS.TEST:
@@ -65,13 +90,6 @@ def do_test(cfg, model, variables, eval_teacher: bool = False,
         # evaluator_type routing (reference get_evaluator, train.py:78-127)
         evaluator = get_evaluator(cfg, dataset_name)
         evaluator.reset()
-
-        @functools.partial(jax.jit, static_argnums=(4,),
-                           in_shardings=(rep, bs, bs, bs),
-                           out_shardings=rep)
-        def infer(variables, image, image_size, gt, eval_teacher):
-            return model.apply(variables, image, image_size, gt,
-                               eval_teacher, method=model.inference)
 
         total = len(loader)
         num_warmup = min(5, max(total // batch_size - 1, 0))
@@ -82,12 +100,20 @@ def do_test(cfg, model, variables, eval_teacher: bool = False,
                 compute_time = 0.0
                 n_timed_imgs = 0
             t0 = time.perf_counter()
-            out = infer(variables, batch["image"], batch["image_size"],
-                        batch["gt"], eval_teacher)
+            # multi-process: every rank holds a (batch_size, ...) local
+            # slice; assemble the (batch_size*world, ...) global arrays
+            # before the lockstep jit (single-process: plain device_put)
+            dev_batch = shard_batch(
+                {k: batch[k] for k in ("image", "image_size", "gt")}, mesh)
+            out = infer(variables, dev_batch["image"],
+                        dev_batch["image_size"], dev_batch["gt"],
+                        eval_teacher)
             out = jax.device_get(out)
             compute_time += time.perf_counter() - t0
             dets, mask_probs = out if isinstance(out, tuple) else (out, None)
 
+            # this rank's slots within the global output batch
+            off = rank * batch_size
             for i, meta in enumerate(batch["_meta"]):
                 if meta is None:  # padded slot in the final partial batch
                     continue
@@ -95,16 +121,16 @@ def do_test(cfg, model, variables, eval_teacher: bool = False,
                 ih, iw = meta["input_hw"]
                 sx = meta["width"] / iw
                 sy = meta["height"] / ih
-                valid = np.asarray(dets.valid[i])
-                boxes = np.asarray(dets.boxes[i])[valid]
+                valid = np.asarray(dets.valid[off + i])
+                boxes = np.asarray(dets.boxes[off + i])[valid]
                 boxes = boxes * np.asarray([sx, sy, sx, sy])
                 boxes[:, 0::2] = boxes[:, 0::2].clip(0, meta["width"])
                 boxes[:, 1::2] = boxes[:, 1::2].clip(0, meta["height"])
                 evaluator.process(
                     meta["image_id"], boxes,
-                    np.asarray(dets.scores[i])[valid],
-                    np.asarray(dets.classes[i])[valid],
-                    masks=(np.asarray(mask_probs[i])[valid]
+                    np.asarray(dets.scores[off + i])[valid],
+                    np.asarray(dets.classes[off + i])[valid],
+                    masks=(np.asarray(mask_probs[off + i])[valid]
                            if mask_probs is not None else None),
                 )
         logger.info(
@@ -231,6 +257,12 @@ def do_train(cfg, model, resume: bool = False,
                 logger.info("************** EVAL TEACHER ***************")
                 do_test(cfg, model, variables, eval_teacher=True)
 
+        if iteration == max_iter - 1:
+            # the lagged guard never covers the last step; sync and check
+            # it before the final checkpoint save can persist a NaN state
+            t = float(metrics["total_loss"])
+            assert np.isfinite(t), (
+                f"Loss diverged at final iteration {iteration}: total={t}")
         periodic.step(iteration, state)
         batch = next(it)
 

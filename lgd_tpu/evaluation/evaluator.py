@@ -75,7 +75,11 @@ def get_evaluator(cfg, dataset_name: str,
     if evaluator_type == "cityscapes_sem_seg":
         return SemSegEvaluator(dataset_name, output_dir=output_folder)
     if evaluator_type == "pascal_voc":
-        return PascalVOCDetectionEvaluator(dataset_name)
+        # detectron2 scores 2007 splits with the 11-point metric, 2012 with
+        # the every-point metric (pascal_voc_evaluation.py: is_2007 from
+        # metadata year)
+        return PascalVOCDetectionEvaluator(
+            dataset_name, use_07_metric=(meta.get("year", 2007) == 2007))
     if evaluator_type == "lvis":
         return LVISEvaluator(dataset_name)
     if not evaluators:

@@ -219,7 +219,9 @@ def label_anchors(cfg, anchors, gt: BatchedInstances):
         matched_boxes_i = boxes[matches]
         return gt_labels_i.astype(jnp.int32), matched_boxes_i
 
-    # lax.map bounds the (M, R) IoU workspace to one image at a time.
+    # vmap materializes the full (B, M, R) IoU workspace — accepted for
+    # throughput over the serialized lax.map variant (one (M, R) slab at a
+    # time), which left the MXU idle between images.
     return jax.vmap(lambda b, c, v: per_image((b, c, v)))(
         gt.boxes, gt.classes, gt.valid)
 

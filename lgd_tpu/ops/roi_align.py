@@ -72,6 +72,13 @@ def multilevel_roi_align(
     C = features[0].shape[-1]
     L = len(features)
     out = output_size
+    if L == 1 and sampling_ratio == 0 and s_max < 8:
+        # single-level (C4/Res5ROIHeads, stride-16) pooling has no FPN level
+        # routing to bound bin sizes: a ~1300 px ROI needs ceil(bin)=6
+        # samples/axis where the FPN cap of 4 would silently degrade to
+        # uniform sampling. 8 slots cover ROIs up to ~1790 px at stride 16
+        # with out=14 (larger ones still clip — README deviations).
+        s_max = 8
     S = sampling_ratio if sampling_ratio > 0 else s_max
 
     if roi_chunk and P0 > roi_chunk:

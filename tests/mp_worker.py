@@ -61,7 +61,24 @@ def main():
     mesh = make_mesh(("data",), devices=jax.devices())
     sharded = shard_batch(local, mesh)  # global assembly across processes
     jstep = jit_train_step(train_step, mesh, gbatch)
-    new_state, metrics = jstep(state, sharded)
+
+    # AOT-compile BEFORE any collective executes. Compile-time skew across
+    # ranks (e.g. one rank hitting the persistent compile cache while the
+    # other compiles for minutes on this shared core) otherwise trips
+    # Gloo's hard 30 s context-init timeout at the first collective: the
+    # fast rank sits in the Gloo rendezvous while the slow rank is still in
+    # XLA. Compilation is process-local, so ranks may finish it arbitrarily
+    # far apart; the coordination-service barrier (plain TCP to the rank-0
+    # coordinator, no Gloo) then releases both ranks into the first
+    # collective within milliseconds of each other.
+    compiled = jstep.lower(state, sharded).compile()
+    print(f"[{rank}] compiled; waiting at barrier", flush=True)
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "lgd_mp_compile_done", timeout_in_ms=1_800_000)
+
+    new_state, metrics = compiled(state, sharded)
     jax.block_until_ready(metrics)
     out = {k: float(v) for k, v in metrics.items()}
 
