@@ -2,11 +2,34 @@
 
 TPU-native equivalent of detectron2's ``deform_conv.cu`` CUDA kernel
 (reference dependency; enabled by MODEL.RESNETS.DEFORM_ON_PER_STAGE /
-DEFORM_MODULATED in the *_dcnv2_* configs — SURVEY.md §2.3). Strategy:
-bilinear-sample an im2col patch tensor with learned offsets via four
-batched gathers, then contract the (K*Cin) patch axis against the kernel on
-the MXU. Everything is shape-static; XLA lowers the gathers to dynamic-slice
-batches and fuses the interpolation arithmetic.
+DEFORM_MODULATED in the *_dcnv2_* configs — SURVEY.md §2.3).
+
+Two implementations:
+
+``impl='dense'`` (default) — bilinear sampling as dense one-hot MATMULS,
+no gather/scatter anywhere. Every bilinear sample factorizes into the outer
+product of two 2-hot vectors: one over a Dy-row window around the output
+row (``Ay``), one over the FULL feature-map row width (``Ax``). Sampling is
+then, per output row, ``out[s,c] = sum_dy Ay[s,dy] * (Ax[s,:] @ rows_dy)``:
+a batched (S x W)@(W x C) MXU matmul per window row. Cost is
+B*Ho*Wo*K*Dy*W*C FLOPs (~38 GFLOP per res4 layer at 640^2, Dy=16) — a few
+ms — where the gather formulation measured 6.6 ms *forward* and its
+backward lowers to scatter-add (measured 8+ ms; 477 ms for block scatter):
+XLA:TPU emits serial per-index DMAs (~57 ns each), so 115k samples/layer
+were issue-rate bound. Forward AND backward here are plain dense matmuls
+and static shifted adds.
+
+Numerics vs the CUDA kernel: exact in x for arbitrary offsets (Ax spans the
+whole row; out-of-image corners carry zero weight, matching
+dmcn_im2col_bilinear's per-corner validity). Exact in y whenever
+``floor(ky*dil + dy_off)`` lies within the Dy-row window around the output
+row (|dy_off| <= (Dy-2)/2 - dil; Dy=16 -> +-6 feature px). Samples farther
+away clamp to the window edge row pair unless the true rows are outside the
+image, in which case they are exactly zero. Offsets are zero-initialized
+and small in trained detectors; the deviation is documented in README.
+
+``impl='gather'`` — the original 4-corner gather path, kept as the parity
+oracle for the dense path and for very-large-offset exactness.
 
 Offset channel layout matches detectron2: per kernel tap k, channels
 (2k, 2k+1) = (dy_k, dx_k); modulation mask has one channel per tap and is
@@ -37,6 +60,8 @@ def deform_conv2d_params(
     dilation: int = 1,
     groups: int = 1,
     dtype=jnp.bfloat16,
+    impl: str = "dense",
+    y_window: int = 16,
 ):
     """Modulated deformable conv.
 
@@ -47,6 +72,9 @@ def deform_conv2d_params(
         mask: optional (B, Ho, Wo, kh*kw) modulation in [0, 1].
         stride/dilation: ints (padding is fixed to 'SAME'-style dilation*k//2
             as used by the ResNet 3x3).
+        impl: 'dense' (one-hot matmuls, default) or 'gather'.
+        y_window: dense path's row-window size Dy (y-offsets exact within
+            +-((Dy-2)/2 - dilation) feature px).
     Returns:
         (B, Ho, Wo, F)
     """
@@ -68,6 +96,131 @@ def deform_conv2d_params(
     base_y = jnp.asarray(np.broadcast_to(base_y, (Ho, Wo, K)), jnp.float32)
     base_x = jnp.asarray(np.broadcast_to(base_x, (Ho, Wo, K)), jnp.float32)
 
+    if impl == "dense":
+        sampled = _sample_dense(x, offsets, mask, base_x,
+                                stride=stride, pad=pad, Dy=int(y_window),
+                                kh=kh, dilation=dilation, Ho=Ho, Wo=Wo, K=K)
+    else:
+        sampled = _sample_gather(x, offsets, mask, base_y, base_x,
+                                 Ho=Ho, Wo=Wo, K=K, dtype=dtype)
+
+    sampled = sampled.astype(dtype)
+    w = weight.astype(dtype)
+    if groups == 1:
+        out = jnp.einsum(
+            "bpkc,kcf->bpf",
+            sampled,
+            w.reshape(K, C, F),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        Cg = C // groups
+        Fg = F // groups
+        sampled = sampled.reshape(B, Ho * Wo, K, groups, Cg)
+        wg = w.reshape(K, Cg, groups, Fg)
+        out = jnp.einsum(
+            "bpkgc,kcgf->bpgf",
+            sampled,
+            wg,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, Ho * Wo, F)
+    return out.reshape(B, Ho, Wo, F).astype(dtype)
+
+
+def _sample_dense(x, offsets, mask, base_x, *, stride, pad, Dy, kh, dilation,
+                  Ho, Wo, K):
+    """Bilinear sampling as one joint one-hot MATMUL per row chunk (module
+    docstring). Per output row the (S, Dy*W) interpolation matrix
+    A = Ay (x) Ax contracts against the (Dy*W, C) row strip — contraction
+    depth Dy*W (512-1280) keeps the MXU full (the per-dy loop variant with
+    depth W=40 measured 7 ms fwd; this measures 0.04 ms at res4 scale).
+    Output rows are processed in chunks bounding the materialized A to a
+    few hundred MB; jax.checkpoint recomputes the builds+matmul in the
+    backward instead of keeping per-chunk residuals."""
+    B, H, W, C = x.shape
+    S = Wo * K
+    # window of Dy input rows per output row, centred on the middle tap:
+    # window slot dy covers absolute input row  yo*stride + lo + dy
+    lo = pad - (Dy - 2) // 2
+
+    # tap row offsets relative to the output anchor (static, (K,))
+    ky = jnp.asarray(np.repeat(np.arange(kh) * dilation, kh), jnp.float32)
+
+    top = -lo + pad  # zero-padding above row 0 (lo < 0 for Dy >= 4)
+    last = (Ho - 1) * stride + lo + Dy - 1 - pad
+    bot = max(0, last - (H - 1))
+    xpad = jnp.pad(x, ((0, 0), (top, bot), (0, 0), (0, 0)))
+
+    # A-chunk budget ~256 MB (res3 at 640^2 would otherwise build 1.2 GB)
+    hc = max(1, min(Ho, (2 ** 28) // max(1, B * S * Dy * W * 2)))
+
+    def sample_chunk(xrows, off_c, mask_c, anchor_c, h):
+        """xrows: (B, (h-1)*stride + Dy, W, C); off_c: (B, h, Wo, K, 2)."""
+        cdt = x.dtype
+        off = off_c.astype(jnp.float32)
+
+        # ---- y axis: 2-hot over the Dy window -------------------------
+        rel = ky + off[..., 0]                     # (B, h, Wo, K)
+        rel = jnp.clip(rel, lo - 2.0, lo + Dy + 1.0)
+        iy = jnp.floor(rel)
+        fy = rel - iy
+        # true absolute corner rows (CUDA per-corner validity)
+        abs_y0 = anchor_c[None, :, None, None] + iy
+        v0 = (abs_y0 >= 0) & (abs_y0 <= H - 1)
+        v1 = (abs_y0 + 1 >= 0) & (abs_y0 + 1 <= H - 1)
+        # window slot of the low corner, clamped into the window
+        s0 = jnp.clip(iy - lo, 0, Dy - 2).astype(jnp.int32)
+        slots = jnp.arange(Dy, dtype=jnp.int32)
+        wy0 = ((1.0 - fy) * v0)[..., None] * (slots == s0[..., None])
+        wy1 = (fy * v1)[..., None] * (slots == s0[..., None] + 1)
+        Ay = wy0 + wy1                             # (B, h, Wo, K, Dy)
+        if mask_c is not None:
+            Ay = Ay * mask_c[..., None].astype(Ay.dtype)
+        Ay = Ay.reshape(B, h, S, Dy).astype(cdt)
+
+        # ---- x axis: 2-hot over the full row width --------------------
+        px = base_x[None, :h] + off[..., 1]        # (B, h, Wo, K)
+        px = jnp.clip(px, -2.0, W + 1.0)
+        ix = jnp.floor(px)
+        fx = px - ix
+        ixi = ix.astype(jnp.int32)
+        cols = jnp.arange(W, dtype=jnp.int32)
+        # out-of-image corners miss the one-hot entirely -> zero weight,
+        # matching dmcn_im2col_bilinear's per-corner validity
+        Ax = ((1.0 - fx)[..., None] * (cols == ixi[..., None])
+              + fx[..., None] * (cols == ixi[..., None] + 1))
+        Ax = Ax.reshape(B, h, S, W).astype(cdt)
+
+        # ---- joint contraction ----------------------------------------
+        strips = jnp.stack(
+            [jax.lax.slice_in_dim(xrows, dy, dy + (h - 1) * stride + 1,
+                                  stride, axis=1) for dy in range(Dy)],
+            axis=2)                                # (B, h, Dy, W, C)
+        A = (Ay[..., :, None] * Ax[..., None, :]).reshape(B, h, S, Dy * W)
+        out = jnp.einsum("bhsk,bhkc->bhsc", A,
+                         strips.reshape(B, h, Dy * W, C),
+                         preferred_element_type=jnp.float32)
+        return out.astype(cdt)
+
+    offr = offsets.reshape(B, Ho, Wo, K, 2)
+    maskr = None if mask is None else mask.reshape(B, Ho, Wo, K)
+    anchor = jnp.asarray(np.arange(Ho) * stride - pad, jnp.float32)
+    outs = []
+    for h0 in range(0, Ho, hc):
+        h = min(hc, Ho - h0)
+        xrows = jax.lax.slice_in_dim(
+            xpad, h0 * stride, h0 * stride + (h - 1) * stride + Dy, 1, axis=1)
+        outs.append(jax.checkpoint(sample_chunk, static_argnums=(4,))(
+            xrows, offr[:, h0:h0 + h],
+            None if maskr is None else maskr[:, h0:h0 + h],
+            anchor[h0:h0 + h], h))
+    sampled = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return sampled.reshape(B, Ho * Wo, K, C)
+
+
+def _sample_gather(x, offsets, mask, base_y, base_x, *, Ho, Wo, K, dtype):
+    """Original 4-corner gather path (parity oracle for 'dense')."""
+    B, H, W, C = x.shape
     P = Ho * Wo * K
 
     # The bilinear-sample stage is wrapped in jax.checkpoint: its backward
@@ -115,24 +268,4 @@ def deform_conv2d_params(
             sampled = sampled * mask.reshape(B, P, 1).astype(sampled.dtype)
         return sampled.reshape(B, Ho * Wo, K, C).astype(dtype)
 
-    sampled = bilinear_sample(x, offsets, mask)
-    w = weight.astype(dtype)
-    if groups == 1:
-        out = jnp.einsum(
-            "bpkc,kcf->bpf",
-            sampled,
-            w.reshape(K, C, F),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        Cg = C // groups
-        Fg = F // groups
-        sampled = sampled.reshape(B, Ho * Wo, K, groups, Cg)
-        wg = w.reshape(K, Cg, groups, Fg)
-        out = jnp.einsum(
-            "bpkgc,kcgf->bpgf",
-            sampled,
-            wg,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, Ho * Wo, F)
-    return out.reshape(B, Ho, Wo, F).astype(dtype)
+    return bilinear_sample(x, offsets, mask)

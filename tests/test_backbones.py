@@ -50,6 +50,56 @@ def test_dcnv2_integer_shift_offsets():
                                atol=1e-5)
 
 
+def test_dcnv2_dense_matches_gather_with_grads():
+    """The dense one-hot-matmul path must reproduce the gather path (the
+    CUDA-semantics oracle) bit-near-bit for offsets within the y window,
+    in values AND gradients (x/offsets/mask/weight)."""
+    rng = np.random.RandomState(7)
+    B, H, W, C, F = 2, 9, 11, 8, 6
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, F).astype(np.float32) * 0.1)
+    # offsets up to +-5.5 incl. fractions; y window 16 covers +-6
+    offsets = jnp.asarray(
+        (rng.rand(B, H, W, 18).astype(np.float32) - 0.5) * 11.0)
+    mask = jnp.asarray(rng.rand(B, H, W, 9).astype(np.float32))
+
+    def run(impl):
+        def loss(x, w, offsets, mask):
+            out = deform_conv2d_params(x, w, offsets, mask, stride=1,
+                                       dilation=1, dtype=jnp.float32,
+                                       impl=impl)
+            return jnp.sum(out * jnp.cos(out)), out
+
+        (l, out), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(x, w, offsets, mask)
+        return out, grads
+
+    out_d, g_d = run("dense")
+    out_g, g_g = run("gather")
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g),
+                               rtol=1e-4, atol=1e-5)
+    for a, b, name in zip(g_d, g_g, ("x", "w", "offsets", "mask")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_dcnv2_dense_stride2_matches_gather():
+    rng = np.random.RandomState(3)
+    B, H, W, C, F = 1, 12, 10, 4, 5
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, F).astype(np.float32) * 0.1)
+    Ho, Wo = 6, 5
+    offsets = jnp.asarray(
+        (rng.rand(B, Ho, Wo, 18).astype(np.float32) - 0.5) * 8.0)
+    mask = jnp.asarray(rng.rand(B, Ho, Wo, 9).astype(np.float32))
+    out_d = deform_conv2d_params(x, w, offsets, mask, stride=2,
+                                 dtype=jnp.float32, impl="dense")
+    out_g = deform_conv2d_params(x, w, offsets, mask, stride=2,
+                                 dtype=jnp.float32, impl="gather")
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_swin_tiny_shapes():
     from lgd_tpu.models.backbones.swin import SwinTransformer
 
