@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from ...ops import losses as L
 from ...ops.nms import batched_nms_mask, topk_detections
+from ...ops.topk import topk_flat_pairs
 from ...structures import BatchedDetections, BatchedInstances, Shift2BoxTransform
 from ...structures import boxes as box_ops
 from ..layers import Scale, constant_init, normal_init
@@ -271,26 +272,30 @@ def poto_inference(cfg, pred_logits, pred_deltas, shifts, level_counts,
     shifts = jnp.asarray(shifts)
     offsets = np.concatenate([[0], np.cumsum(level_counts)])
 
-    def per_image(args):
-        logits, deltas, hw = args
-        boxes_all, scores_all, classes_all, valid_all = [], [], [], []
-        for li in range(len(level_counts)):
-            s, e = int(offsets[li]), int(offsets[li + 1])
-            probs = jax.nn.sigmoid(logits[s:e].reshape(-1))
-            k = min(topk_cand, probs.shape[0])
-            top_p, top_i = jax.lax.top_k(probs, k)
-            keep = top_p > score_thresh
-            shift_idx = top_i // num_classes
-            cls_idx = top_i % num_classes
-            box = tf.apply_deltas(deltas[s:e][shift_idx], shifts[s:e][shift_idx])
-            boxes_all.append(box)
-            scores_all.append(jnp.where(keep, top_p, 0.0))
-            classes_all.append(cls_idx)
-            valid_all.append(keep)
-        boxes = jnp.concatenate(boxes_all)
-        scores = jnp.concatenate(scores_all)
-        classes = jnp.concatenate(classes_all)
-        valid = jnp.concatenate(valid_all)
+    B = pred_logits.shape[0]
+    boxes_all, scores_all, classes_all, valid_all = [], [], [], []
+    for li in range(len(level_counts)):
+        s, e = int(offsets[li]), int(offsets[li + 1])
+        lg = pred_logits[:, s:e]  # (B, Ri, K)
+        k = min(topk_cand, lg.shape[1] * lg.shape[2])
+        top_l, top_i = topk_flat_pairs(lg, k)
+        top_p = jax.nn.sigmoid(top_l)
+        keep = top_p > score_thresh
+        shift_idx = top_i // num_classes
+        cls_idx = top_i % num_classes
+        d = jnp.take_along_axis(pred_deltas[:, s:e], shift_idx[..., None],
+                                axis=1)
+        box = tf.apply_deltas(d, shifts[s:e][shift_idx])
+        boxes_all.append(box)
+        scores_all.append(jnp.where(keep, top_p, 0.0))
+        classes_all.append(cls_idx)
+        valid_all.append(keep)
+    boxes = jnp.concatenate(boxes_all, axis=1)
+    scores = jnp.concatenate(scores_all, axis=1)
+    classes = jnp.concatenate(classes_all, axis=1)
+    valid = jnp.concatenate(valid_all, axis=1)
+
+    def per_image(boxes, scores, classes, valid, hw):
         boxes = box_ops.clip(boxes, hw[0], hw[1])
         if nms_type == "null":
             keep = valid
@@ -302,6 +307,6 @@ def poto_inference(cfg, pred_logits, pred_deltas, shifts, level_counts,
             keep = batched_nms_mask(boxes, scores, classes, valid, nms_thresh)
         return topk_detections(boxes, scores, classes, keep, max_dets)
 
-    b, s, c, v = jax.vmap(lambda l, d, hw: per_image((l, d, hw)))(
-        pred_logits, pred_deltas, image_sizes)
+    b, s, c, v = jax.vmap(per_image)(boxes, scores, classes, valid,
+                                     image_sizes)
     return BatchedDetections(boxes=b, scores=s, classes=c, valid=v)

@@ -26,6 +26,7 @@ from flax import linen as nn
 from ...ops import losses as L
 from ...ops.matcher import Matcher
 from ...ops.nms import batched_nms_mask, topk_detections
+from ...ops.topk import topk_flat_pairs
 from ...structures import Box2BoxTransform, BatchedDetections, BatchedInstances
 from ...structures import boxes as box_ops
 from ..backbones.fpn import FPN
@@ -278,39 +279,46 @@ def retinanet_inference(cfg, pred_logits, pred_deltas, anchors, level_counts,
                         image_sizes) -> BatchedDetections:
     """Top-k per level -> score filter -> decode -> class-aware NMS -> top
     DETECTIONS_PER_IMAGE (detectron2 RetinaNet.inference semantics on padded
-    static shapes)."""
+    static shapes).
+
+    The candidate-selection stage runs batched (no per-image vmap) so XLA
+    sees one (B, Ri*K) top_k per level, and ranks by raw logits (sigmoid is
+    monotone) so only the k selected scores are ever exponentiated. Decoding
+    then touches k=1000 anchors per level instead of all Ri."""
     topk_cand = cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST
     score_thresh = cfg.MODEL.RETINANET.SCORE_THRESH_TEST
     nms_thresh = cfg.MODEL.RETINANET.NMS_THRESH_TEST
     max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
     num_classes = pred_logits.shape[-1]
     anchors = jnp.asarray(anchors)
+    b2b = Box2BoxTransform(tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS))
+    B = pred_logits.shape[0]
 
     offsets = np.concatenate([[0], np.cumsum(level_counts)])
 
-    def per_image(args):
-        logits, deltas, hw = args
-        boxes_all, scores_all, classes_all, valid_all = [], [], [], []
-        for li in range(len(level_counts)):
-            s, e = int(offsets[li]), int(offsets[li + 1])
-            lg = logits[s:e].reshape(-1)  # (Ri*K,)
-            k = min(topk_cand, lg.shape[0])
-            probs = jax.nn.sigmoid(lg)
-            top_p, top_i = jax.lax.top_k(probs, k)
-            keep = top_p > score_thresh
-            anchor_idx = top_i // num_classes
-            cls_idx = top_i % num_classes
-            box = Box2BoxTransform(
-                tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS)
-            ).apply_deltas(deltas[s:e][anchor_idx], anchors[s:e][anchor_idx])
-            boxes_all.append(box)
-            scores_all.append(jnp.where(keep, top_p, 0.0))
-            classes_all.append(cls_idx)
-            valid_all.append(keep)
-        boxes = jnp.concatenate(boxes_all)
-        scores = jnp.concatenate(scores_all)
-        classes = jnp.concatenate(classes_all)
-        valid = jnp.concatenate(valid_all)
+    boxes_all, scores_all, classes_all, valid_all = [], [], [], []
+    for li in range(len(level_counts)):
+        s, e = int(offsets[li]), int(offsets[li + 1])
+        lg = pred_logits[:, s:e]  # (B, Ri, K)
+        k = min(topk_cand, lg.shape[1] * lg.shape[2])
+        top_l, top_i = topk_flat_pairs(lg, k)
+        top_p = jax.nn.sigmoid(top_l)
+        keep = top_p > score_thresh
+        anchor_idx = top_i // num_classes
+        cls_idx = top_i % num_classes
+        d = jnp.take_along_axis(pred_deltas[:, s:e], anchor_idx[..., None],
+                                axis=1)
+        box = b2b.apply_deltas(d, anchors[s:e][anchor_idx])
+        boxes_all.append(box)
+        scores_all.append(jnp.where(keep, top_p, 0.0))
+        classes_all.append(cls_idx)
+        valid_all.append(keep)
+    boxes = jnp.concatenate(boxes_all, axis=1)
+    scores = jnp.concatenate(scores_all, axis=1)
+    classes = jnp.concatenate(classes_all, axis=1)
+    valid = jnp.concatenate(valid_all, axis=1)
+
+    def per_image(boxes, scores, classes, valid, hw):
         boxes = box_ops.clip(boxes, hw[0], hw[1])
         # bound the NMS sweep: keep top pre_nms candidates
         pre_nms = min(2000, boxes.shape[0])
@@ -320,6 +328,6 @@ def retinanet_inference(cfg, pred_logits, pred_deltas, anchors, level_counts,
         keep = batched_nms_mask(boxes, scores, classes, valid, nms_thresh)
         return topk_detections(boxes, scores, classes, keep, max_dets)
 
-    b, s, c, v = jax.vmap(lambda l, d, hw: per_image((l, d, hw)))(
-        pred_logits, pred_deltas, image_sizes)
+    b, s, c, v = jax.vmap(per_image)(boxes, scores, classes, valid,
+                                     image_sizes)
     return BatchedDetections(boxes=b, scores=s, classes=c, valid=v)

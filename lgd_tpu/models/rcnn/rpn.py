@@ -148,20 +148,25 @@ def generate_proposals(cfg, pred_logits, pred_deltas, anchors, level_counts,
     anchors = jnp.asarray(anchors)
     offsets = np.concatenate([[0], np.cumsum(level_counts)])
 
-    def per_image(args):
-        logits, deltas, hw = args
-        boxes_all, scores_all, lvl_all = [], [], []
-        for li in range(len(level_counts)):
-            s, e = int(offsets[li]), int(offsets[li + 1])
-            k = min(pre_k, e - s)
-            score, idx = jax.lax.top_k(logits[s:e, 0], k)
-            box = transform.apply_deltas(deltas[s:e][idx], anchors[s:e][idx])
-            boxes_all.append(box)
-            scores_all.append(score)
-            lvl_all.append(jnp.full((k,), li, jnp.int32))
-        boxes = jnp.concatenate(boxes_all)
-        scores = jnp.concatenate(scores_all)
-        lvls = jnp.concatenate(lvl_all)
+    B = pred_logits.shape[0]
+    obj = pred_logits[..., 0]  # (B, R): squeeze once so per-level top_k
+    # slices a dense minor axis (no per-slice relayout of the padded
+    # (B, R, 1) tensor)
+    boxes_all, scores_all, lvl_all = [], [], []
+    for li in range(len(level_counts)):
+        s, e = int(offsets[li]), int(offsets[li + 1])
+        k = min(pre_k, e - s)
+        score, idx = jax.lax.top_k(obj[:, s:e], k)  # (B, k)
+        d = jnp.take_along_axis(pred_deltas[:, s:e], idx[..., None], axis=1)
+        box = transform.apply_deltas(d, anchors[s:e][idx])
+        boxes_all.append(box)
+        scores_all.append(score)
+        lvl_all.append(jnp.full((B, k), li, jnp.int32))
+    boxes = jnp.concatenate(boxes_all, axis=1)
+    scores = jnp.concatenate(scores_all, axis=1)
+    lvls = jnp.concatenate(lvl_all, axis=1)
+
+    def per_image(boxes, scores, lvls, hw):
         boxes = box_ops.clip(boxes, hw[0], hw[1])
         valid = box_ops.nonempty(boxes, float(min_size))
         # keep the strongest 2*post_k before the O(N^2) NMS sweep
@@ -173,8 +178,7 @@ def generate_proposals(cfg, pred_logits, pred_deltas, anchors, level_counts,
         out_s, out_i = jax.lax.top_k(jnp.where(keep, top_s, -1e10), post_k)
         return boxes[out_i], out_s, out_s > -1e9
 
-    b, s, v = jax.vmap(lambda l, d, hw: per_image((l, d, hw)))(
-        pred_logits, pred_deltas, image_sizes)
+    b, s, v = jax.vmap(per_image)(boxes, scores, lvls, image_sizes)
     return b, s, v
 
 

@@ -3,10 +3,17 @@
 TPU-native replacement for torchvision's ``nms.cu`` / cvpods
 ``generalized_batched_nms`` (reference use: thirdparty_heads/fcos.py:384-388
 and detectron2 RetinaNet/RPN/ROI inference; SURVEY.md §2.3). Candidates are
-fixed-capacity padded arrays with validity masks; suppression is an exact
-greedy sweep expressed as a ``lax.fori_loop`` over the sorted candidate list
-with fully vectorized inner IoU rows (O(N) sequential steps, O(N^2) vector
-work — eval-path only, never inside the train step).
+fixed-capacity padded arrays with validity masks.
+
+Greedy NMS is the unique fixpoint of ``keep[i] = valid[i] AND no kept
+earlier j with IoU(j, i) > thr`` (induction over score rank). Instead of the
+O(N) *sequential* sweep (a 2000-step ``fori_loop`` of tiny vector ops is
+latency-bound on TPU: measured 25 ms for batch 8 x 2000 candidates), we
+iterate that recurrence as a dense suppressor-count matvec on the MXU until
+it stabilizes. Each iteration pins at least one more level of the
+suppression DAG, so the loop converges to the exact greedy result in
+(dag-depth + 1) iterations — single digits for real detections — and the
+equality test only passes at a true fixpoint, so early exit is sound.
 """
 
 from __future__ import annotations
@@ -35,16 +42,25 @@ def nms_mask(boxes, scores, valid, iou_threshold: float):
     valid_s = masked_scores[order] > NEG_INF
 
     iou = box_ops.pairwise_iou(boxes_s, boxes_s)  # (N, N)
+    idx = jnp.arange(n)
+    # sup[j, i] = 1 iff j (earlier in score order) suppresses i when kept.
+    # bf16 operand: the matvec only distinguishes count==0 from count>0,
+    # and a sum of nonnegative values cannot round to 0 unless all are 0.
+    sup = ((iou > iou_threshold) & (idx[:, None] < idx[None, :])).astype(
+        jnp.bfloat16)
 
-    def body(i, keep):
-        keep_i = keep[i] & valid_s[i]
-        suppress = (iou[i] > iou_threshold) & keep_i
-        # never suppress self or earlier entries
-        idx = jnp.arange(n)
-        suppress = suppress & (idx > i)
-        return keep & ~suppress
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < n) & jnp.any(keep != prev)
 
-    keep_s = jax.lax.fori_loop(0, n, body, valid_s)
+    def body(carry):
+        keep, _, it = carry
+        cnt = jnp.matmul(keep.astype(jnp.bfloat16), sup,
+                         preferred_element_type=jnp.float32)
+        return valid_s & (cnt < 0.5), keep, it + 1
+
+    keep_s, _, _ = jax.lax.while_loop(
+        cond, body, (valid_s, ~valid_s, jnp.int32(0)))
 
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(keep_s)

@@ -114,3 +114,120 @@ def test_distillator_train_step_smoke(arch):
     assert "loss_cls.tea" in metrics and "loss_distill" in metrics
     if arch != "DistillatorPOTO":
         assert "loss_centerness" in metrics
+
+
+def _naive_detect(cfg, logits, deltas, shifts, level_counts, image_sizes,
+                  ctr=None, nms_type="normal"):
+    """Numpy oracle for fcos/poto_inference: flat per-level top-k on sigmoid
+    probs -> threshold -> decode -> class-offset greedy NMS -> top max_dets."""
+    from lgd_tpu.structures import Shift2BoxTransform
+
+    K = logits.shape[-1]
+    topk_cand = cfg.MODEL.FCOS.TOPK_CANDIDATES_TEST
+    score_thresh = cfg.MODEL.FCOS.SCORE_THRESH_TEST
+    nms_thresh = cfg.MODEL.FCOS.NMS_THRESH_TEST
+    max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
+    tf = Shift2BoxTransform(tuple(cfg.MODEL.FCOS.BBOX_REG_WEIGHTS))
+    offsets = np.concatenate([[0], np.cumsum(level_counts)])
+    out = []
+    for b in range(logits.shape[0]):
+        cand = []
+        for li in range(len(level_counts)):
+            s, e = int(offsets[li]), int(offsets[li + 1])
+            probs = 1.0 / (1.0 + np.exp(-logits[b, s:e].reshape(-1)))
+            k = min(topk_cand, probs.shape[0])
+            order = np.argsort(-probs, kind="stable")[:k]
+            for fi in order:
+                p = probs[fi]
+                if p <= score_thresh:
+                    continue
+                si, ci = fi // K, fi % K
+                box = np.asarray(tf.apply_deltas(
+                    jnp.asarray(deltas[b, s + si]), jnp.asarray(shifts[s + si])))
+                if ctr is not None:
+                    cp = 1.0 / (1.0 + np.exp(-ctr[b, s + si, 0]))
+                    score = np.sqrt(p * cp)
+                else:
+                    score = p
+                h, w = image_sizes[b]
+                box = np.clip(box, [0, 0, 0, 0], [w, h, w, h])
+                cand.append((float(score), int(ci), box))
+        cand.sort(key=lambda t: -t[0])
+        cand = cand[:2000]
+        kept = []
+        if nms_type == "null":
+            kept = list(range(len(cand)))
+        else:
+            for i, (sc, ci, box) in enumerate(cand):
+                ok = True
+                for j in kept:
+                    sj, cj, bj = cand[j]
+                    if cj != ci:
+                        continue
+                    x1 = max(box[0], bj[0]); y1 = max(box[1], bj[1])
+                    x2 = min(box[2], bj[2]); y2 = min(box[3], bj[3])
+                    inter = max(0, x2 - x1) * max(0, y2 - y1)
+                    a1 = (box[2] - box[0]) * (box[3] - box[1])
+                    a2 = (bj[2] - bj[0]) * (bj[3] - bj[1])
+                    iou = inter / max(a1 + a2 - inter, 1e-9)
+                    if iou > nms_thresh:
+                        ok = False
+                        break
+                if ok:
+                    kept.append(i)
+        out.append([cand[i] for i in kept[:max_dets]])
+    return out
+
+
+def _assert_matches_naive(dets, naive, b):
+    got = [(round(float(s), 4), int(c)) for s, c, v in zip(
+        np.asarray(dets.scores[b]), np.asarray(dets.classes[b]),
+        np.asarray(dets.valid[b])) if v]
+    want = [(round(sc, 4), ci) for sc, ci, _ in naive[b]]
+    assert got == want
+
+
+def test_fcos_inference_matches_naive():
+    cfg = make_cfg("DistillatorFCOS")
+    from lgd_tpu.models.heads.fcos import fcos_inference
+
+    rng = np.random.RandomState(0)
+    level_counts = [64, 16]
+    R = sum(level_counts)
+    B, K = 2, 8
+    logits = rng.randn(B, R, K).astype(np.float32) * 2
+    deltas = np.abs(rng.randn(B, R, 4)).astype(np.float32) * 10
+    ctr = rng.randn(B, R, 1).astype(np.float32)
+    shifts = (rng.rand(R, 2) * 100).astype(np.float32)
+    sizes = np.asarray([[128, 128], [96, 120]], np.int32)
+    dets = fcos_inference(cfg, jnp.asarray(logits), jnp.asarray(deltas),
+                          jnp.asarray(ctr), shifts, level_counts,
+                          jnp.asarray(sizes))
+    naive = _naive_detect(cfg, logits, deltas, shifts, level_counts, sizes,
+                          ctr=ctr)
+    for b in range(B):
+        _assert_matches_naive(dets, naive, b)
+
+
+@pytest.mark.parametrize("nms_type", ["normal", "null"])
+def test_poto_inference_matches_naive(nms_type):
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "DistillatorPOTO"
+    cfg.MODEL.NMS_TYPE = nms_type
+    cfg.freeze()
+    from lgd_tpu.models.heads.poto import poto_inference
+
+    rng = np.random.RandomState(1)
+    level_counts = [48, 12]
+    R = sum(level_counts)
+    B, K = 2, 6
+    logits = rng.randn(B, R, K).astype(np.float32) * 2
+    deltas = np.abs(rng.randn(B, R, 4)).astype(np.float32) * 10
+    shifts = (rng.rand(R, 2) * 100).astype(np.float32)
+    sizes = np.asarray([[128, 128], [90, 110]], np.int32)
+    dets = poto_inference(cfg, jnp.asarray(logits), jnp.asarray(deltas),
+                          shifts, level_counts, jnp.asarray(sizes))
+    naive = _naive_detect(cfg, logits, deltas, shifts, level_counts, sizes,
+                          nms_type=nms_type)
+    for b in range(B):
+        _assert_matches_naive(dets, naive, b)

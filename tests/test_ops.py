@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -143,3 +144,30 @@ def test_layer_norm_channel():
     ours = np.asarray(layer_norm(jnp.asarray(x), axis=-1))
     ref = TF.layer_norm(torch.tensor(x), (64,)).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_flat_pairs_matches_flat_topk():
+    from lgd_tpu.ops.topk import topk_flat_pairs
+
+    rng = np.random.RandomState(3)
+    for B, R, K, k in ((2, 500, 80, 100), (3, 40, 16, 200), (1, 2000, 7, 64)):
+        x = jnp.asarray(rng.randn(B, R, K).astype(np.float32))
+        v, i = topk_flat_pairs(x, k)
+        v_ref, i_ref = jax.lax.top_k(x.reshape(B, R * K), min(k, R * K))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_topk_flat_pairs_adversarial_one_anchor_dominates():
+    # one anchor holds many of the global top-k: the anchor-max preselect
+    # must still return the exact flat top-k
+    from lgd_tpu.ops.topk import topk_flat_pairs
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 300, 80).astype(np.float32)
+    x[0, 7, :] += 100.0  # all 80 entries of anchor 7 outrank everything
+    x = jnp.asarray(x)
+    v, i = topk_flat_pairs(x, 128)
+    v_ref, i_ref = jax.lax.top_k(x.reshape(1, -1), 128)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
