@@ -247,6 +247,12 @@ _C.TPU.SEGMASK_STRIDE = 8           # host rasterizes GT masks at this stride
 _C.TPU.MASK_CROP_SIZE = 56          # exact per-GT polygon crop raster (2x the
                                     # 28x28 mask-head target resolution)
 _C.TPU.ATTENTION_IMPL = "auto"      # teacher MHA: auto | pallas | reference
+_C.TPU.ROI_ALIGN_IMPL = "dense"     # dense | patch | gather (ops/roi_align.py).
+                                    # patch (contiguous-window gather +
+                                    # small matmuls) measured 6x slower
+                                    # fwd+bwd: the gather's backward lowers
+                                    # to serial scatter-add DMAs
+
 _C.TPU.PREFETCH = 2
 _C.TPU.PROFILE_DIR = ""        # non-empty -> jax.profiler trace of the hot loop
 _C.TPU.PROFILE_START_ITER = 20

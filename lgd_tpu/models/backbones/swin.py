@@ -207,6 +207,9 @@ class SwinTransformer(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     patch_norm: bool = True
+    ape: bool = False
+    pretrain_img_size: int = 224
+    patch_size: int = 4
     out_features: Sequence[str] = ("stage2", "stage3", "stage4", "stage5")
     dtype: Any = jnp.bfloat16
 
@@ -219,6 +222,19 @@ class SwinTransformer(nn.Module):
         if self.patch_norm:
             x = nn.LayerNorm(dtype=jnp.float32,
                              name="patch_norm")(x).astype(self.dtype)
+        if self.ape:
+            # absolute position embedding, bicubic-resized from the pretrain
+            # grid to the padded canvas (swin_transformer.py:505-513,596-599;
+            # NHWC here vs the reference's (1, C, Hp, Wp) buffer)
+            pr = self.pretrain_img_size // self.patch_size
+            pe = self.param("absolute_pos_embed",
+                            nn.initializers.truncated_normal(0.02),
+                            (1, pr, pr, self.embed_dim))
+            pe = jax.image.resize(
+                pe.astype(jnp.float32),
+                (1, x.shape[1], x.shape[2], self.embed_dim),
+                method="bicubic")
+            x = x + pe.astype(self.dtype)
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
@@ -259,6 +275,7 @@ def build_swint(cfg, dtype=jnp.bfloat16) -> SwinTransformer:
         window_size=s.WINDOW_SIZE,
         mlp_ratio=float(s.MLP_RATIO),
         drop_path_rate=s.DROP_PATH_RATE,
+        ape=bool(s.APE),
         out_features=tuple(s.OUT_FEATURES),
         dtype=dtype,
         name="bottom_up",

@@ -373,7 +373,8 @@ class StandardROIHeads(nn.Module):
         return multilevel_roi_align(
             features, boxes, valid, s, resolution,
             min_level=int(np.log2(s[0])),
-            sampling_ratio=sampling_ratio)
+            sampling_ratio=sampling_ratio,
+            impl=self.cfg.TPU.ROI_ALIGN_IMPL)
 
     def box_forward(self, feats, boxes, valid):
         pooled = self._pool(
@@ -445,7 +446,8 @@ class Res5ROIHeads(nn.Module):
             [feats[f] for f in self.in_features], boxes, valid, s,
             cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
             min_level=int(np.log2(s[0])),
-            sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO)
+            sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            impl=cfg.TPU.ROI_ALIGN_IMPL)
         B, P, hh, ww, C = pooled.shape
         x = pooled.reshape(B * P, hh, ww, C).astype(self.dtype)
         for block in self.res5:

@@ -55,6 +55,7 @@ def multilevel_roi_align(
     roi_chunk: int = 64,
     impl: str = "dense",
     patch_size: int = 32,
+    unroll: bool = False,
 ) -> jax.Array:
     """features: per-level (B, Hi, Wi, C) list; boxes: (B, P, 4) in input
     coords; box_valid: (B, P). Returns (B, P, out, out, C).
@@ -79,6 +80,11 @@ def multilevel_roi_align(
         # uniform sampling. 8 slots cover ROIs up to ~1790 px at stride 16
         # with out=14 (larger ones still clip — README deviations).
         s_max = 8
+    if L == 1 and impl == "patch":
+        # C4 ROIs are not span-bounded by level routing; a (patch_size,
+        # patch_size) texel window cannot cover them. Use the exact
+        # full-width dense matmuls instead.
+        impl = "dense"
     S = sampling_ratio if sampling_ratio > 0 else s_max
 
     if roi_chunk and P0 > roi_chunk:
@@ -99,7 +105,13 @@ def multilevel_roi_align(
                 features, args[0], args[1], strides, output_size,
                 min_level, aligned, sampling_ratio, s_max, roi_chunk=0,
                 impl=impl, patch_size=patch_size))
-        pooled = jax.lax.map(body, (boxes_c, valid_c))
+        if unroll:
+            # static chunk slices; XLA schedules/overlaps chunk chains
+            # instead of a serial while loop of dynamic slices
+            pooled = jnp.stack([body((boxes_c[i], valid_c[i]))
+                                for i in range(nc)])
+        else:
+            pooled = jax.lax.map(body, (boxes_c, valid_c))
         # (nc, B, chunk, out, out, C)
         pooled = pooled.transpose(1, 0, 2, 3, 4, 5).reshape(
             B, nc * roi_chunk, out, out, C)

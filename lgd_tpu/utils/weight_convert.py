@@ -142,7 +142,10 @@ def convert_swin_state(raw: Dict[str, np.ndarray]) -> Dict:
     for k, v in raw.items():
         k = k.replace("backbone.", "")
         parts = k.split(".")
-        if parts[0] == "patch_embed":
+        if parts[0] == "absolute_pos_embed":
+            # (1, C, Hp, Wp) buffer -> our NHWC (1, Hp, Wp, C) param
+            put(["absolute_pos_embed"], np.transpose(v, (0, 2, 3, 1)))
+        elif parts[0] == "patch_embed":
             if parts[1] == "proj":
                 if parts[2] == "weight":
                     put(["patch_embed", "kernel"], v.transpose(2, 3, 1, 0))

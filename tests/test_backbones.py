@@ -170,3 +170,30 @@ def test_resnet_pkl_converter_mapping():
     f = conv["frozen"]
     assert "scale" in f["stem_conv1_norm"]
     assert "bias" in f["res2_0"]["conv1_norm"]
+
+
+def test_swin_ape():
+    """APE param exists, is resized to the canvas, and shifts outputs
+    (swin_transformer.py:505-513,596-599)."""
+    from lgd_tpu.models.backbones.swin import SwinTransformer
+    from lgd_tpu.utils.weight_convert import convert_swin_state
+
+    model = SwinTransformer(dtype=jnp.float32, drop_path_rate=0.0, ape=True,
+                            depths=(1, 1), num_heads=(3, 6),
+                            out_features=("stage3",))
+    x = jnp.zeros((1, 112, 112, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    pe = variables["params"]["absolute_pos_embed"]
+    assert pe.shape == (1, 56, 56, 96)
+    out0 = model.apply(variables, x)["stage3"]
+    # zero image: output is a pure function of the (nonzero) APE; without
+    # APE the same zero image gives a different constant map
+    novars = {"params": dict(variables["params"])}
+    novars["params"]["absolute_pos_embed"] = jnp.zeros_like(pe)
+    out1 = model.apply(novars, x)["stage3"]
+    assert float(jnp.max(jnp.abs(out0 - out1))) > 0
+
+    # converter maps the NCHW buffer to NHWC
+    conv = convert_swin_state({"absolute_pos_embed":
+                               np.zeros((1, 96, 56, 56), np.float32)})
+    assert conv["params"]["absolute_pos_embed"].shape == (1, 56, 56, 96)

@@ -143,3 +143,48 @@ def test_invalid_rois_zeroed():
                                           min_level=0))
     assert got[0, 0].min() > 0.9
     assert np.all(got[0, 1] == 0)
+
+
+def test_patch_impl_matches_dense_fpn():
+    """impl='patch' (contiguous Gp-texel patch gather + small interpolation
+    matmuls) must be exact vs impl='dense' for FPN-routed ROIs (span on the
+    assigned level is bounded by the canonical-224 routing)."""
+    rng = np.random.RandomState(7)
+    strides = [8, 16, 32, 64]
+    feats = [rng.randn(2, 80 // (s // 8), 96 // (s // 8), 8)
+             .astype(np.float32) for s in strides]
+    # sizes spanning all levels incl. clamped extremes + off-grid coords
+    sizes = [17.0, 60.0, 150.0, 300.0, 600.0, 640.0 * 1.41]
+    boxes = np.stack([
+        np.asarray([[7.3, 11.9, 7.3 + s, 11.9 + s * 0.7] for s in sizes],
+                   np.float32),
+        np.asarray([[0.0, 0.0, s, s] for s in sizes], np.float32),
+    ])
+    valid = np.ones((2, 6), bool)
+    for out, sr in ((7, 0), (14, 0), (7, 2)):
+        a = np.asarray(multilevel_roi_align(
+            feats, boxes, valid, strides, out, min_level=3,
+            sampling_ratio=sr, impl="dense"))
+        b = np.asarray(multilevel_roi_align(
+            feats, boxes, valid, strides, out, min_level=3,
+            sampling_ratio=sr, impl="patch"))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"out={out} sr={sr}")
+
+
+def test_patch_impl_matches_oracle_with_chunking():
+    rng = np.random.RandomState(8)
+    strides = [8, 16]
+    feats = [rng.randn(1, 64 // (s // 8), 64 // (s // 8), 4)
+             .astype(np.float32) for s in strides]
+    P = 9  # > roi_chunk to exercise the lax.map path
+    boxes = np.asarray([[10 + i, 5 + i, 80 + 3 * i, 90 + 2 * i]
+                        for i in range(P)], np.float32)[None]
+    valid = np.ones((1, P), bool)
+    a = np.asarray(multilevel_roi_align(
+        feats, boxes, valid, strides, 7, min_level=3, sampling_ratio=0,
+        impl="dense", roi_chunk=4))
+    b = np.asarray(multilevel_roi_align(
+        feats, boxes, valid, strides, 7, min_level=3, sampling_ratio=0,
+        impl="patch", roi_chunk=4))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
