@@ -54,13 +54,14 @@ def make_synthetic_dataset_dicts(num_images: int = 16, seed: int = 0,
 
 
 def register_synthetic(name: str = "synthetic_mini", num_images: int = 16,
-                       seed: int = 0):
+                       seed: int = 0, num_classes: int = 80):
     """Register the mini split in the DatasetCatalog (idempotent)."""
     from .catalog import DatasetCatalog, MetadataCatalog
 
     try:
         DatasetCatalog.register(
-            name, lambda: make_synthetic_dataset_dicts(num_images, seed))
+            name, lambda: make_synthetic_dataset_dicts(
+                num_images, seed, num_classes=num_classes))
     except KeyError:
         return name
     MetadataCatalog.get(name).update(evaluator_type="coco")

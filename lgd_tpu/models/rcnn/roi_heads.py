@@ -120,7 +120,13 @@ def label_and_sample_proposals(cfg, proposals, prop_valid, gt, rng):
         pos_sel, neg_sel = subsample_labels(labels, S, frac, r1)
         sel = pos_sel | neg_sel
         score = jnp.where(sel, 1.0 + jax.random.uniform(r2, sel.shape), -1.0)
-        top, idx = jax.lax.top_k(score, S)
+        # proposal pool can be < S on tiny configs; pad the slab with
+        # invalid slots (top = -1 -> valid False)
+        k = min(S, score.shape[0])
+        top, idx = jax.lax.top_k(score, k)
+        if k < S:
+            top = jnp.pad(top, (0, S - k), constant_values=-1.0)
+            idx = jnp.pad(idx, (0, S - k))
         return (props[idx], cls[idx].astype(jnp.int32), matches[idx],
                 top > 0.0, pos_sel[idx])
 

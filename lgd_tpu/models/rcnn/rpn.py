@@ -69,22 +69,34 @@ def rpn_anchors(cfg, padded_hw, in_features):
 def subsample_labels(labels, num_samples: int, positive_fraction: float, rng):
     """detectron2 subsample_labels with static shapes: returns a bool mask of
     exactly <= num_samples selected anchors (random positives up to the
-    fraction, random negatives filling the rest). labels: (R,) in {-1,0,1}."""
+    fraction, random negatives filling the rest). labels: (R,) in {-1,0,1}.
+
+    Selecting "the n highest random scores within the mask" is done with a
+    k=num_samples top_k + threshold instead of a full argsort->rank scatter
+    (identical masks — both keep the n largest uniforms; the two 102k-anchor
+    argsorts were ~20 ms/step in the R-CNN profile)."""
     pos = labels == 1
     neg = labels == 0
     num_pos_max = int(num_samples * positive_fraction)
     rand = jax.random.uniform(rng, labels.shape)
 
-    def rank_of(mask):
+    def select(mask, n, k):
+        # top-n random scores within mask, n dynamic <= k static. If the
+        # anchor pool R is smaller than k (tiny C4 canvases), clamp k; the
+        # threshold index then clamps to the minimum in-mask score (-1.0
+        # once the mask is exhausted), i.e. "take all of mask" — identical
+        # to the argsort-rank formulation.
+        k = min(k, labels.shape[0])
         score = jnp.where(mask, rand, -1.0)
-        order = jnp.argsort(-score)
-        rank = jnp.zeros_like(order).at[order].set(jnp.arange(len(order)))
-        return rank
+        top = jax.lax.top_k(score, k)[0]
+        idx = jnp.clip(n - 1, 0, k - 1)
+        thresh = jnp.where(n > 0, top[idx], 2.0)
+        return mask & (score >= thresh)
 
     n_pos = jnp.minimum(jnp.sum(pos), num_pos_max)
-    pos_sel = pos & (rank_of(pos) < n_pos)
+    pos_sel = select(pos, n_pos, num_pos_max)
     n_neg = num_samples - n_pos
-    neg_sel = neg & (rank_of(neg) < n_neg)
+    neg_sel = select(neg, n_neg, num_samples)
     return pos_sel, neg_sel
 
 

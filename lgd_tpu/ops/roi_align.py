@@ -23,11 +23,14 @@ SURVEY.md §2.3), shape-static by design:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def assign_fpn_levels(boxes, min_level: int, max_level: int,
@@ -42,100 +45,19 @@ def assign_fpn_levels(boxes, min_level: int, max_level: int,
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
-def multilevel_roi_align(
-    features: List[jax.Array],
-    boxes: jax.Array,
-    box_valid: jax.Array,
-    strides: Sequence[int],
-    output_size: int,
-    min_level: int,
-    aligned: bool = True,
-    sampling_ratio: int = 0,
-    s_max: int = 4,
-    roi_chunk: int = 64,
-    impl: str = "dense",
-    patch_size: int = 32,
-    unroll: bool = False,
-) -> jax.Array:
-    """features: per-level (B, Hi, Wi, C) list; boxes: (B, P, 4) in input
-    coords; box_valid: (B, P). Returns (B, P, out, out, C).
-
-    sampling_ratio > 0: fixed grid of that many samples per bin axis
-    (detectron2 semantics). sampling_ratio == 0: adaptive ceil(bin) grid,
-    realized statically as an s_max-slot masked grid (see module docstring).
-
-    roi_chunk bounds peak memory: the 4 bilinear corner gathers materialize
-    (B, chunk, out*S, out*S, C) workspaces, so pooling sweeps the ROI axis
-    in lax.map chunks (512 ROIs x 14x14 x 256ch would otherwise peak at
-    many GB and OOM a 16 GB chip mid-train-step).
-    """
-    B, P0, _ = boxes.shape
-    C = features[0].shape[-1]
-    L = len(features)
-    out = output_size
-    if L == 1 and sampling_ratio == 0 and s_max < 8:
-        # single-level (C4/Res5ROIHeads, stride-16) pooling has no FPN level
-        # routing to bound bin sizes: a ~1300 px ROI needs ceil(bin)=6
-        # samples/axis where the FPN cap of 4 would silently degrade to
-        # uniform sampling. 8 slots cover ROIs up to ~1790 px at stride 16
-        # with out=14 (larger ones still clip — README deviations).
-        s_max = 8
-    if L == 1 and impl == "patch":
-        # C4 ROIs are not span-bounded by level routing; a (patch_size,
-        # patch_size) texel window cannot cover them. Use the exact
-        # full-width dense matmuls instead.
-        impl = "dense"
-    S = sampling_ratio if sampling_ratio > 0 else s_max
-
-    if roi_chunk and P0 > roi_chunk:
-        pad = (-P0) % roi_chunk
-        if pad:
-            boxes = jnp.concatenate(
-                [boxes, jnp.zeros((B, pad, 4), boxes.dtype)], axis=1)
-            box_valid = jnp.concatenate(
-                [box_valid, jnp.zeros((B, pad), bool)], axis=1)
-        nc = boxes.shape[1] // roi_chunk
-        boxes_c = boxes.reshape(B, nc, roi_chunk, 4).transpose(1, 0, 2, 3)
-        valid_c = box_valid.reshape(B, nc, roi_chunk).transpose(1, 0, 2)
-        # jax.checkpoint: lax.map's backward otherwise stacks every chunk's
-        # einsum/gather residuals; recomputing the cheap pooling forward
-        # keeps only the chunk inputs live
-        body = jax.checkpoint(
-            lambda args: multilevel_roi_align(
-                features, args[0], args[1], strides, output_size,
-                min_level, aligned, sampling_ratio, s_max, roi_chunk=0,
-                impl=impl, patch_size=patch_size))
-        if unroll:
-            # static chunk slices; XLA schedules/overlaps chunk chains
-            # instead of a serial while loop of dynamic slices
-            pooled = jnp.stack([body((boxes_c[i], valid_c[i]))
-                                for i in range(nc)])
-        else:
-            pooled = jax.lax.map(body, (boxes_c, valid_c))
-        # (nc, B, chunk, out, out, C)
-        pooled = pooled.transpose(1, 0, 2, 3, 4, 5).reshape(
-            B, nc * roi_chunk, out, out, C)
-        return pooled[:, :P0]
-    P = P0
-
-    # flatten + concat levels along the pixel axis
-    flat = [f.reshape(B, -1, C) for f in features]
-    level_sizes = [f.shape[1] * f.shape[2] for f in features]
-    level_offsets = np.concatenate([[0], np.cumsum(level_sizes)])[:-1]
-    hw = [(f.shape[1], f.shape[2]) for f in features]
-    all_flat = jnp.concatenate(flat, axis=1)  # (B, sum(HiWi), C)
-
+def _roi_sample_geometry(boxes, box_valid, strides, hw, out, min_level,
+                         aligned, sampling_ratio, S):
+    """Per-ROI level routing + bilinear corner indices/weights (shared by
+    every impl). Returns (levels, Hl, Wl, (y0i, wy0, y1i, wy1),
+    (x0i, wx0, x1i, wx1)) with corner arrays shaped (B, P, out*S)."""
+    L = len(hw)
     levels = assign_fpn_levels(boxes, min_level, min_level + L - 1) - min_level
     levels = jnp.where(box_valid, levels, 0)
 
-    # per-roi static level constants gathered from numpy tables
     stride_tab = jnp.asarray(strides, jnp.float32)
-    off_tab = jnp.asarray(level_offsets, jnp.int32)
     h_tab = jnp.asarray([h for h, w in hw], jnp.int32)
     w_tab = jnp.asarray([w for h, w in hw], jnp.int32)
-
     stride = stride_tab[levels]            # (B, P)
-    base_off = off_tab[levels]
     Hl = h_tab[levels]
     Wl = w_tab[levels]
 
@@ -186,6 +108,102 @@ def multilevel_roi_align(
     # fold the per-slot adaptive weight into the bilinear weights once
     wy0, wy1 = wy0 * wy_slot, wy1 * wy_slot
     wx0, wx1 = wx0 * wx_slot, wx1 * wx_slot
+    return levels, Hl, Wl, (y0i, wy0, y1i, wy1), (x0i, wx0, x1i, wx1)
+
+
+def multilevel_roi_align(
+    features: List[jax.Array],
+    boxes: jax.Array,
+    box_valid: jax.Array,
+    strides: Sequence[int],
+    output_size: int,
+    min_level: int,
+    aligned: bool = True,
+    sampling_ratio: int = 0,
+    s_max: int = 4,
+    roi_chunk: int = 64,
+    impl: str = "dense",
+    patch_size: int = 32,
+    unroll: bool = False,
+) -> jax.Array:
+    """features: per-level (B, Hi, Wi, C) list; boxes: (B, P, 4) in input
+    coords; box_valid: (B, P). Returns (B, P, out, out, C).
+
+    sampling_ratio > 0: fixed grid of that many samples per bin axis
+    (detectron2 semantics). sampling_ratio == 0: adaptive ceil(bin) grid,
+    realized statically as an s_max-slot masked grid (see module docstring).
+
+    roi_chunk bounds peak memory: the 4 bilinear corner gathers materialize
+    (B, chunk, out*S, out*S, C) workspaces, so pooling sweeps the ROI axis
+    in lax.map chunks (512 ROIs x 14x14 x 256ch would otherwise peak at
+    many GB and OOM a 16 GB chip mid-train-step).
+    """
+    B, P0, _ = boxes.shape
+    C = features[0].shape[-1]
+    L = len(features)
+    out = output_size
+    if L == 1 and sampling_ratio == 0 and s_max < 8:
+        # single-level (C4/Res5ROIHeads, stride-16) pooling has no FPN level
+        # routing to bound bin sizes: a ~1300 px ROI needs ceil(bin)=6
+        # samples/axis where the FPN cap of 4 would silently degrade to
+        # uniform sampling. 8 slots cover ROIs up to ~1790 px at stride 16
+        # with out=14 (larger ones still clip — README deviations).
+        s_max = 8
+    if L == 1 and impl in ("patch", "pallas", "auto"):
+        # C4 ROIs are not span-bounded by level routing; a fixed texel
+        # window cannot cover them. Use the exact full-width dense matmuls.
+        impl = "dense"
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "dense"
+    if impl == "pallas":
+        return _roi_align_pallas(tuple(features), boxes, box_valid,
+                                 tuple(int(s) for s in strides), out,
+                                 min_level, aligned, sampling_ratio, s_max)
+    S = sampling_ratio if sampling_ratio > 0 else s_max
+
+    if roi_chunk and P0 > roi_chunk:
+        pad = (-P0) % roi_chunk
+        if pad:
+            boxes = jnp.concatenate(
+                [boxes, jnp.zeros((B, pad, 4), boxes.dtype)], axis=1)
+            box_valid = jnp.concatenate(
+                [box_valid, jnp.zeros((B, pad), bool)], axis=1)
+        nc = boxes.shape[1] // roi_chunk
+        boxes_c = boxes.reshape(B, nc, roi_chunk, 4).transpose(1, 0, 2, 3)
+        valid_c = box_valid.reshape(B, nc, roi_chunk).transpose(1, 0, 2)
+        # jax.checkpoint: lax.map's backward otherwise stacks every chunk's
+        # einsum/gather residuals; recomputing the cheap pooling forward
+        # keeps only the chunk inputs live
+        body = jax.checkpoint(
+            lambda args: multilevel_roi_align(
+                features, args[0], args[1], strides, output_size,
+                min_level, aligned, sampling_ratio, s_max, roi_chunk=0,
+                impl=impl, patch_size=patch_size))
+        if unroll:
+            # static chunk slices; XLA schedules/overlaps chunk chains
+            # instead of a serial while loop of dynamic slices
+            pooled = jnp.stack([body((boxes_c[i], valid_c[i]))
+                                for i in range(nc)])
+        else:
+            pooled = jax.lax.map(body, (boxes_c, valid_c))
+        # (nc, B, chunk, out, out, C)
+        pooled = pooled.transpose(1, 0, 2, 3, 4, 5).reshape(
+            B, nc * roi_chunk, out, out, C)
+        return pooled[:, :P0]
+    P = P0
+
+    # flatten + concat levels along the pixel axis
+    flat = [f.reshape(B, -1, C) for f in features]
+    level_sizes = [f.shape[1] * f.shape[2] for f in features]
+    level_offsets = np.concatenate([[0], np.cumsum(level_sizes)])[:-1]
+    hw = [(f.shape[1], f.shape[2]) for f in features]
+    all_flat = jnp.concatenate(flat, axis=1)  # (B, sum(HiWi), C)
+
+    off_tab = jnp.asarray(level_offsets, jnp.int32)
+    geo = _roi_sample_geometry(boxes, box_valid, strides, hw, out, min_level,
+                               aligned, sampling_ratio, S)
+    (levels, Hl, Wl, (y0i, wy0, y1i, wy1), (x0i, wx0, x1i, wx1)) = geo
+    base_off = off_tab[levels]
 
     if impl == "dense":
         # ---- pure-MXU path: ROIAlign as interpolation matmuls. Per level,
@@ -304,3 +322,158 @@ def multilevel_roi_align(
     samples = samples.reshape(B, P, out, S, out, S, C)
     pooled = samples.sum(axis=(3, 5))
     return pooled * box_valid[..., None, None, None].astype(pooled.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward: per-ROI window DMA + one interpolation matmul
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(None)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _window_size(hw) -> int:
+    """Texel window covering every routed ROI: mid levels are span-bounded
+    by the canonical-224 routing (< 30 texels); clamped top-level ROIs span
+    up to the whole top level (+ bilinear slack)."""
+    top_h, top_w = hw[-1]
+    need = max(32, max(top_h, top_w) + 4)
+    return (need + 7) // 8 * 8
+
+
+def _roi_window_matrices(geo, hw_pad, Gp, out, S, box_valid):
+    """Fold bilinear + adaptive-slot weights into one (out^2, Gp^2)
+    window-relative interpolation matrix per ROI. Returns (W (B*P, out^2,
+    Gp^2), oy (B, P), ox (B, P)) with origins clamped so the window stays
+    inside the (padded) level; referenced texels always lie inside the
+    window for routed ROIs (clamping only relocates zero-weight slots)."""
+    levels, Hl, Wl, ygeo, xgeo = geo
+    y0i, wy0, y1i, wy1 = ygeo
+    x0i, wx0, x1i, wx1 = xgeo
+    hp_tab = jnp.asarray([h for h, w in hw_pad], jnp.int32)
+    wp_tab = jnp.asarray([w for h, w in hw_pad], jnp.int32)
+    oy = jnp.clip(y0i[..., 0], 0, hp_tab[levels] - Gp)
+    ox = jnp.clip(x0i[..., 0], 0, wp_tab[levels] - Gp)
+
+    def mat(c0i, w0, c1i, w1, origin):
+        r0 = jnp.clip(c0i - origin[..., None], 0, Gp - 1)
+        r1 = jnp.clip(c1i - origin[..., None], 0, Gp - 1)
+        grid = jnp.arange(Gp, dtype=jnp.int32)
+        a = (w0[..., None] * (grid == r0[..., None])
+             + w1[..., None] * (grid == r1[..., None]))
+        return a.reshape(*a.shape[:2], out, S, Gp).sum(3)  # (B, P, out, Gp)
+
+    ay = mat(y0i, wy0, y1i, wy1, oy) * box_valid[..., None, None]
+    ax = mat(x0i, wx0, x1i, wx1, ox)
+    w = jnp.einsum("bpiy,bpjx->bpijyx", ay, ax)
+    B, P = levels.shape
+    return w.reshape(B * P, out * out, Gp * Gp), oy, ox
+
+
+def _roi_fwd_kernel(lev_ref, b_ref, oy_ref, ox_ref, *refs, L, Gp, C):
+    feat_refs = refs[:L]
+    w_ref, out_ref, patch, sem = refs[L], refs[L + 1], refs[L + 2], refs[L + 3]
+    i = pl.program_id(0)
+    lv, b = lev_ref[i], b_ref[i]
+    oy, ox = oy_ref[i], ox_ref[i]
+    for li in range(L):
+        @pl.when(lv == li)
+        def _(li=li):
+            dma = pltpu.make_async_copy(
+                feat_refs[li].at[b, pl.ds(oy, Gp), pl.ds(ox, Gp), :],
+                patch, sem)
+            dma.start()
+            dma.wait()
+    p = patch[...].reshape(Gp * Gp, C)
+    out_ref[0] = jax.lax.dot_general(
+        w_ref[0], p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _roi_pallas_fwd(features, boxes, box_valid, strides, out, min_level,
+                    aligned, sampling_ratio, s_max):
+    B, P, _ = boxes.shape
+    C = features[0].shape[-1]
+    L = len(features)
+    hw = [(f.shape[1], f.shape[2]) for f in features]
+    S = sampling_ratio if sampling_ratio > 0 else s_max
+    Gp = _window_size(hw)
+
+    geo = _roi_sample_geometry(boxes, box_valid, strides, hw, out, min_level,
+                               aligned, sampling_ratio, S)
+    hw_pad = [(max(h, Gp), max(w, Gp)) for h, w in hw]
+    w, oy, ox = _roi_window_matrices(geo, hw_pad, Gp, out, S, box_valid)
+    dtype = features[0].dtype
+    w = w.astype(dtype)
+
+    feats_pad = [
+        jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
+        if (hp > h or wp > wd) else f
+        for f, (h, wd), (hp, wp) in zip(features, hw, hw_pad)
+    ]
+    levels = geo[0]
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                             (B, P)).reshape(-1)
+    out2 = out * out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B * P,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * L + [
+            pl.BlockSpec((1, out2, Gp * Gp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, out2, C), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Gp, Gp, C), dtype),
+                        pltpu.SemaphoreType.DMA],
+    )
+    pooled = pl.pallas_call(
+        functools.partial(_roi_fwd_kernel, L=L, Gp=Gp, C=C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * P, out2, C), dtype),
+        interpret=not _on_tpu(),
+    )(levels.reshape(-1).astype(jnp.int32), b_idx,
+      oy.reshape(-1).astype(jnp.int32), ox.reshape(-1).astype(jnp.int32),
+      *feats_pad, w)
+    return pooled.reshape(B, P, out, out, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _roi_align_pallas(features, boxes, box_valid, strides, output_size,
+                      min_level, aligned, sampling_ratio, s_max):
+    """Pallas forward (per-ROI window DMA + matmul; ~0.4 MB of HBM traffic
+    per ROI instead of a full-width (B, P, out, Wl, C) intermediate) with
+    the exact dense-matmul transpose as the backward (features enter the
+    pooling linearly; proposal boxes are stop-gradient upstream,
+    rcnn.py:121, matching detectron2's detached proposals)."""
+    return _roi_pallas_fwd(features, boxes, box_valid, strides, output_size,
+                           min_level, aligned, sampling_ratio, s_max)
+
+
+def _roi_pallas_vjp_fwd(features, boxes, box_valid, strides, output_size,
+                        min_level, aligned, sampling_ratio, s_max):
+    out = _roi_pallas_fwd(features, boxes, box_valid, strides, output_size,
+                          min_level, aligned, sampling_ratio, s_max)
+    structs = tuple(jax.eval_shape(lambda x: x, f) for f in features)
+    return out, (structs, boxes, box_valid)
+
+
+def _roi_pallas_vjp_bwd(strides, output_size, min_level, aligned,
+                        sampling_ratio, s_max, res, g):
+    structs, boxes, box_valid = res
+
+    def lin(feats):
+        return multilevel_roi_align(
+            list(feats), boxes, box_valid, strides, output_size, min_level,
+            aligned, sampling_ratio, s_max, roi_chunk=64, impl="dense")
+
+    dfeats = jax.linear_transpose(lin, structs)(g)[0]
+    dvalid = np.zeros(box_valid.shape, jax.dtypes.float0)
+    return tuple(dfeats), jnp.zeros_like(boxes), dvalid
+
+
+_roi_align_pallas.defvjp(_roi_pallas_vjp_fwd, _roi_pallas_vjp_bwd)

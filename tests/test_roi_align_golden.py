@@ -188,3 +188,44 @@ def test_patch_impl_matches_oracle_with_chunking():
         feats, boxes, valid, strides, 7, min_level=3, sampling_ratio=0,
         impl="patch", roi_chunk=4))
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_impl_matches_dense_fpn():
+    """impl='pallas' (per-ROI window DMA + interpolation matmul; interpret
+    mode on CPU) must match impl='dense' exactly for FPN-routed ROIs, and
+    its custom-vjp feature gradients must match dense's autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    strides = [8, 16, 32, 64]
+    feats = [rng.randn(2, 80 // (s // 8), 96 // (s // 8), 8)
+             .astype(np.float32) for s in strides]
+    sizes = [17.0, 60.0, 150.0, 300.0, 600.0, 640.0 * 1.41]
+    boxes = np.stack([
+        np.asarray([[7.3, 11.9, 7.3 + s, 11.9 + s * 0.7] for s in sizes],
+                   np.float32),
+        np.asarray([[0.0, 0.0, s, s] for s in sizes], np.float32),
+    ])
+    valid = np.ones((2, 6), bool)
+    valid[1, -1] = False
+    for out, sr in ((7, 0), (7, 2)):
+        a = np.asarray(multilevel_roi_align(
+            feats, boxes, valid, strides, out, min_level=3,
+            sampling_ratio=sr, impl="dense"))
+        b = np.asarray(multilevel_roi_align(
+            [jnp.asarray(f) for f in feats], boxes, valid, strides, out,
+            min_level=3, sampling_ratio=sr, impl="pallas"))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4,
+                                   err_msg=f"out={out} sr={sr}")
+
+    def loss(fs, impl):
+        o = multilevel_roi_align(list(fs), boxes, valid, strides, 7,
+                                 min_level=3, impl=impl)
+        return jnp.sum(o * o * jnp.arange(o.size).reshape(o.shape))
+
+    g_d = jax.grad(lambda fs: loss(fs, "dense"))(tuple(map(jnp.asarray, feats)))
+    g_p = jax.grad(lambda fs: loss(fs, "pallas"))(tuple(map(jnp.asarray, feats)))
+    for gd, gp in zip(g_d, g_p):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gp),
+                                   atol=1e-3, rtol=1e-3)
