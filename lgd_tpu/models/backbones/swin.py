@@ -66,6 +66,40 @@ def window_reverse(x, ws: int, B: int, H: int, W: int):
     return x.reshape(B, H, W, C)
 
 
+def _shift_perms(hp: int, wp: int, ws: int, shift: int):
+    """Static permutations so the cyclic shift runs IN window layout.
+
+    The stage keeps tokens window-partitioned ((B, nW*N, C), window-major
+    flat order); `perm` satisfies
+        x_win[perm] == window_partition(roll(canvas, (-shift, -shift)))
+    and `inv` undoes it. One static-index gather per direction replaces the
+    reverse-transpose + roll + partition-transpose round trip (the Swin-T
+    profile showed ~31 ms/step of such layout copies — PROFILES.md)."""
+    canvas = np.arange(hp * wp).reshape(hp, wp)
+    win = canvas.reshape(hp // ws, ws, wp // ws, ws).transpose(
+        0, 2, 1, 3).reshape(-1)  # window slot -> canvas pixel
+    rolled = np.roll(canvas, (-shift, -shift), axis=(0, 1))
+    win_rolled = rolled.reshape(hp // ws, ws, wp // ws, ws).transpose(
+        0, 2, 1, 3).reshape(-1)
+    slot_of = np.empty(hp * wp, np.int32)
+    slot_of[win] = np.arange(hp * wp, dtype=np.int32)
+    perm = slot_of[win_rolled]
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(hp * wp, dtype=np.int32)
+    return perm, inv
+
+
+def _pad_keep_mask(h: int, w: int, hp: int, wp: int, ws: int) -> np.ndarray:
+    """(nW, N) 1.0 for real canvas tokens, 0.0 for ws-padding tokens —
+    re-zeroes the pad region each block (the reference pads zeros after
+    norm1 every block, swin_transformer.py:219-223; pointwise multiply in
+    window layout instead of a pad+crop round trip)."""
+    m = np.zeros((hp, wp), np.float32)
+    m[:h, :w] = 1.0
+    return m.reshape(hp // ws, ws, wp // ws, ws).transpose(
+        0, 2, 1, 3).reshape(-1, ws * ws)
+
+
 class DropPath(nn.Module):
     rate: float = 0.0
 
@@ -126,8 +160,21 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
+    """One W-MSA / SW-MSA block, operating in WINDOW layout.
+
+    Input/output: (B, nW, N, C) — the ws-padded canvas window-partitioned
+    once per stage by the parent (partitioning there is a pure reshape, so
+    non-shifted blocks touch no layout copies at all; shifted blocks do one
+    static-permutation gather per direction instead of
+    reverse+roll+partition). Numerically identical to the reference's
+    per-block canvas round trip: LN/MLP/residuals are pointwise, pad tokens
+    are re-zeroed after norm1 exactly as the reference's post-norm F.pad,
+    and the shift permutation reproduces roll∘partition elementwise
+    (swin_transformer.py:157-254)."""
+
     dim: int
     num_heads: int
+    canvas_hw: Sequence[int]  # unpadded (H, W) of this stage — static
     window_size: int = 7
     shift_size: int = 0
     mlp_ratio: float = 4.0
@@ -136,34 +183,35 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        B, H, W, C = x.shape
+        B, nW, N, C = x.shape
+        H, W = self.canvas_hw
         ws = self.window_size
         shift = self.shift_size
-        # pad to multiple of window size (static)
-        pad_h = (ws - H % ws) % ws
-        pad_w = (ws - W % ws) % ws
-        hp, wp = H + pad_h, W + pad_w
+        hp = -(-H // ws) * ws
+        wp = -(-W // ws) * ws
 
         shortcut = x
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        if pad_h or pad_w:
-            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        if hp != H or wp != W:
+            x = x * jnp.asarray(
+                _pad_keep_mask(H, W, hp, wp, ws), self.dtype)[None, :, :, None]
 
         if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            perm, inv = _shift_perms(hp, wp, ws, shift)
+            x = jnp.take(x.reshape(B, nW * N, C), jnp.asarray(perm),
+                         axis=1).reshape(B, nW, N, C)
             mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
 
-        xw = window_partition(x, ws)
         xw = WindowAttention(self.dim, self.num_heads, ws,
-                             dtype=self.dtype, name="attn")(xw, mask)
-        x = window_reverse(xw, ws, B, hp, wp)
+                             dtype=self.dtype, name="attn")(
+                                 x.reshape(B * nW, N, C), mask)
+        x = xw.reshape(B, nW, N, C)
 
         if shift > 0:
-            x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        if pad_h or pad_w:
-            x = x[:, :H, :W]
+            x = jnp.take(x.reshape(B, nW * N, C), jnp.asarray(inv),
+                         axis=1).reshape(B, nW, N, C)
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic)
@@ -240,20 +288,32 @@ class SwinTransformer(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total)
         outputs = {}
         dim = self.embed_dim
+        ws = self.window_size
         block_idx = 0
         for stage in range(len(self.depths)):
+            # window-partition ONCE per stage; blocks run in window layout
+            # (see SwinBlock docstring — kills the per-block canvas copies)
+            B, H, W, C = x.shape
+            hp, wp = -(-H // ws) * ws, -(-W // ws) * ws
+            if hp != H or wp != W:
+                x = jnp.pad(x, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+            x = x.reshape(B, hp // ws, ws, wp // ws, ws, C).transpose(
+                0, 1, 3, 2, 4, 5).reshape(B, -1, ws * ws, C)
             for i in range(self.depths[stage]):
                 x = SwinBlock(
                     dim=dim,
                     num_heads=self.num_heads[stage],
-                    window_size=self.window_size,
-                    shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                    canvas_hw=(H, W),
+                    window_size=ws,
+                    shift_size=0 if i % 2 == 0 else ws // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dpr[block_idx]),
                     dtype=self.dtype,
                     name=f"stage{stage + 2}_block{i}",
                 )(x, deterministic)
                 block_idx += 1
+            x = x.reshape(B, hp // ws, wp // ws, ws, ws, C).transpose(
+                0, 1, 3, 2, 4, 5).reshape(B, hp, wp, C)[:, :H, :W]
             name = f"stage{stage + 2}"
             if name in self.out_features:
                 out = nn.LayerNorm(dtype=jnp.float32,

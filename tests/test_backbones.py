@@ -197,3 +197,42 @@ def test_swin_ape():
     conv = convert_swin_state({"absolute_pos_embed":
                                np.zeros((1, 96, 56, 56), np.float32)})
     assert conv["params"]["absolute_pos_embed"].shape == (1, 56, 56, 96)
+
+
+def test_swin_forward_golden_window_layout():
+    """The window-layout-persistent Swin (blocks run on (B, nW, N, C);
+    cyclic shift = static permutation gather, pad re-zeroed pointwise) must
+    reproduce the canvas-round-trip formulation bit-for-bit. The golden was
+    generated from the per-block pad/roll/partition implementation (commit
+    4ca1bdb) with the same init seed; non-49-divisible canvas exercises the
+    pad-token masking."""
+    from lgd_tpu.models.backbones.swin import SwinTransformer
+
+    model = SwinTransformer(dtype=jnp.float32, drop_path_rate=0.0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 97, 113, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(11), x)
+    out = model.apply(params, x)
+    gold = np.load("tests/data/swin_forward_golden.npz")
+    for k in gold.files:
+        np.testing.assert_allclose(np.asarray(out[k]), gold[k],
+                                   atol=2e-5, rtol=1e-5, err_msg=k)
+
+
+def test_swin_shift_perm_matches_roll_partition():
+    """_shift_perms gather == window_partition(roll(canvas)) elementwise."""
+    from lgd_tpu.models.backbones.swin import (_shift_perms,
+                                               window_partition)
+
+    rng = np.random.RandomState(0)
+    hp, wp, ws, s = 21, 28, 7, 3
+    x = rng.randn(2, hp, wp, 5).astype(np.float32)
+    want = np.asarray(window_partition(
+        jnp.roll(jnp.asarray(x), (-s, -s), axis=(1, 2)), ws))
+    perm, inv = _shift_perms(hp, wp, ws, s)
+    xw = np.asarray(window_partition(jnp.asarray(x), ws))
+    n_w = (hp // ws) * (wp // ws)
+    flat = xw.reshape(2, n_w * ws * ws, 5)
+    got = flat[:, perm].reshape(2 * n_w, ws * ws, 5)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(flat[:, perm][:, inv], flat)

@@ -181,3 +181,23 @@ def test_rpn_proposal_selection_matches_oracle():
     want = {(round(float(s), 4), tuple(np.round(b, 3)))
             for s, b in zip(want_scores, want_boxes)}
     assert got == want
+
+
+def test_tiled_nms_matches_untiled_and_oracle():
+    """The tiled sequential-prefix NMS (ops/nms.py, engaged when N > tile)
+    must reproduce the single-tile fixpoint and the greedy oracle exactly,
+    including with padding (invalid candidates) and ragged final tiles."""
+    rng = np.random.RandomState(7)
+    for trial, n in enumerate((96, 130, 257)):
+        boxes = _random_boxes(rng, n, spread=55.0)
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        for thresh in (0.3, 0.6):
+            tiled = np.asarray(nms_mask(boxes, scores, valid, thresh,
+                                        tile=64))
+            ref = np.asarray(nms_mask(boxes, scores, valid, thresh,
+                                      tile=1 << 30))
+            assert (tiled == ref).all(), f"trial {trial} thresh {thresh}"
+            want = nms_oracle(boxes[valid], scores[valid], thresh)
+            got = np.nonzero(tiled[valid])[0].tolist()
+            assert sorted(got) == want, f"trial {trial} thresh {thresh}"
