@@ -255,6 +255,7 @@ _C.TPU.ROI_ALIGN_IMPL = "dense"     # dense | patch | gather (ops/roi_align.py).
 
 _C.TPU.PREFETCH = 2
 _C.TPU.PROFILE_DIR = ""        # non-empty -> jax.profiler trace of the hot loop
+_C.TPU.TRAIN_DEVICES = 0       # >0: cap the single-process train mesh size
 _C.TPU.PROFILE_START_ITER = 20
 _C.TPU.PROFILE_NUM_ITERS = 5
 

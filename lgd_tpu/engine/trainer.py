@@ -169,12 +169,17 @@ def do_train(cfg, model, resume: bool = False,
         n_dev = len(jax.devices())
     else:
         n_dev = len(jax.devices())
+        if cfg.TPU.TRAIN_DEVICES > 0:
+            # sub-slice training: cap the data mesh (also lets CPU-hosted
+            # tests opt out of virtual-device collectives on a 1-core host)
+            n_dev = min(n_dev, cfg.TPU.TRAIN_DEVICES)
         while cfg.SOLVER.IMS_PER_BATCH % n_dev:
             n_dev -= 1
         if n_dev != len(jax.devices()):
             logger.warning(
-                "IMS_PER_BATCH=%d not divisible by %d devices; using %d",
-                cfg.SOLVER.IMS_PER_BATCH, len(jax.devices()), n_dev)
+                "IMS_PER_BATCH=%d / TPU.TRAIN_DEVICES=%d: using %d of %d "
+                "devices", cfg.SOLVER.IMS_PER_BATCH, cfg.TPU.TRAIN_DEVICES,
+                n_dev, len(jax.devices()))
     mesh = make_mesh(("data",), devices=jax.devices()[:n_dev])
     if loader is None:
         # per-rank sampler shard, local batch = IMS_PER_BATCH / world
