@@ -133,11 +133,11 @@ def build_fcos(cfg: CN) -> CN:
     cfg.MODEL.POTO = CN(dict(ALPHA=0.8, CENTER_SAMPLING_RADIUS=1.5,
                              REG_WEIGHT=2.0,
                              # lgd_tpu extension: 'hungarian' (default —
-                             # exact scipy linear_sum_assignment via host
-                             # callback, matching the reference's
-                             # poto.py:359) or 'greedy' (on-device,
-                             # sync-free approximation; opt in for step
-                             # time when crowding is light)
+                             # exact linear-sum assignment ON DEVICE,
+                             # ops/hungarian.py, matching the reference's
+                             # scipy poto.py:359), 'hungarian_host' (scipy
+                             # pure_callback oracle; CPU backends only) or
+                             # 'greedy' (on-device sync-free approximation)
                              ASSIGNMENT="hungarian"))
     cfg.MODEL.ATSS = CN(dict(ANCHOR_SCALE=8, TOPK=9))
     return cfg

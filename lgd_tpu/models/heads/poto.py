@@ -10,15 +10,20 @@ NMS when MODEL.NMS_TYPE == 'null'.
 
 One-to-one matching on TPU: the reference calls scipy
 ``linear_sum_assignment`` on CPU (a device->host sync each step,
-poto.py:359). The default here matches it exactly —
-``MODEL.POTO.ASSIGNMENT = "hungarian"`` runs scipy on the host via
-``jax.pure_callback`` (one device<->host sync per step). Setting
-``MODEL.POTO.ASSIGNMENT = "greedy"`` opts into an on-device greedy
-one-to-one (pick the global max-quality (gt, shift) pair, remove both,
-repeat M times inside a ``fori_loop``) that avoids the sync; for POTO's
-quality surface (sharply peaked per GT) greedy agrees with Hungarian except
-under heavy same-class crowding — tests/test_poto_assignment.py measures
-the disagreement on crowded synthetic scenes.
+poto.py:359). The default here matches it exactly WITHOUT leaving the
+device — ``MODEL.POTO.ASSIGNMENT = "hungarian"`` runs the exact
+Jonker-Volgenant shortest-augmenting-path solver in ``ops/hungarian.py``
+inside the jitted step (scipy-equal totals; no host sync; works under
+sharded meshes and on PJRT backends that reject host callbacks — the axon
+TPU plugin raises UNIMPLEMENTED for ``pure_callback``).
+``ASSIGNMENT = "hungarian_host"`` keeps the scipy ``jax.pure_callback``
+path as a parity oracle (CPU backends only). ``ASSIGNMENT = "greedy"``
+opts into an on-device greedy one-to-one (pick the global max-quality
+(gt, shift) pair, remove both, repeat M times inside a ``fori_loop``);
+for POTO's quality surface (sharply peaked per GT) greedy agrees with
+Hungarian except under heavy same-class crowding —
+tests/test_poto_assignment.py measures the disagreement on crowded
+synthetic scenes.
 """
 
 from __future__ import annotations
@@ -143,9 +148,12 @@ def greedy_one_to_one(quality):
     return assign
 
 
-def hungarian_one_to_one(quality):
+def hungarian_host_one_to_one(quality):
     """Exact linear-sum assignment via scipy on the host (pure_callback) —
-    the reference's matching (poto.py:359), one device<->host sync per step.
+    kept as the parity oracle for the on-device solver (the reference's
+    matching, poto.py:359). One device<->host sync per step; REJECTED by
+    the axon TPU PJRT plugin (no host send/recv callbacks) — use the
+    default on-device ``hungarian`` there.
     quality: (B, M, R) with -INF masking. Returns (B, M) int32 (-1 = none)."""
     import numpy as np
 
@@ -212,10 +220,17 @@ def poto_ground_truth(cfg, shifts, shift_strides, gt: BatchedInstances,
         gt.boxes, gt.classes, gt.valid, pred_logits, pred_deltas
     )  # (B, M, R)
 
-    if getattr(cfg.MODEL.POTO, "ASSIGNMENT", "greedy") == "hungarian":
-        assign = hungarian_one_to_one(quality)  # (B, M)
-    else:
+    assignment = getattr(cfg.MODEL.POTO, "ASSIGNMENT", "greedy")
+    if assignment == "hungarian":
+        from ...ops.hungarian import max_quality_assignment
+        assign = jax.vmap(
+            lambda q: max_quality_assignment(q, penalty=-INF))(quality)
+    elif assignment == "hungarian_host":
+        assign = hungarian_host_one_to_one(quality)  # (B, M)
+    elif assignment == "greedy":
         assign = jax.vmap(greedy_one_to_one)(quality)
+    else:
+        raise ValueError(f"unknown MODEL.POTO.ASSIGNMENT {assignment!r}")
 
     R = shifts.shape[0]
 

@@ -4,9 +4,9 @@ The reference trains all five detector families under DDP
 (/root/reference/configs/Distillation/**, train.py:277-310); round-2 only
 ever exercised DistillatorRetinaNet on the virtual mesh (VERDICT weak #2 /
 missing #2). This parametrizes the 8-dev-vs-1-dev train-step parity check
-over the remaining four families, explicitly covering POTO's
-``jax.pure_callback`` Hungarian assignment and the R-CNN per-image
-subsampling path under a sharded jit.
+over the remaining four families, explicitly covering POTO's exact
+on-device Hungarian assignment (ops/hungarian.py while_loops vmapped under
+the sharded jit) and the R-CNN per-image subsampling path.
 """
 
 import jax
@@ -65,7 +65,7 @@ def arch_cfg(arch):
 @pytest.mark.parametrize("arch", [
     "DistillatorFCOS",
     "DistillatorATSS",
-    "DistillatorPOTO",            # exact-Hungarian pure_callback, sharded
+    "DistillatorPOTO",            # exact on-device Hungarian, sharded
     "DistillatorGeneralizedRCNN",  # per-image sampling rng, RPN NMS
 ])
 def test_data_parallel_8dev_matches_single(arch):
