@@ -313,12 +313,22 @@ def main():
 
     # The primary metric gets its own guaranteed slot and its result line
     # is flushed before any extra row starts; extras run in small groups,
-    # each followed by a refreshed (superset) result line.
-    run_group(["lgd_retinanet_r50"], 900)
-    extras = [n for n in ROWS if n != "lgd_retinanet_r50"]
-    group_budget = float(os.environ.get("BENCH_EXTRA_BUDGET_S", 900))
-    for i in range(0, len(extras), 3):
-        run_group(extras[i:i + 3], group_budget)
+    # each followed by a refreshed (superset) result line. Groups hold 1-2
+    # rows: remote compiles for R-CNN / DCNv2 / POTO graphs run 8-15 min
+    # each, so a 3-row group loses its tail to the budget (round-3 lesson:
+    # faster_rcnn + dcnv2 + poto_hungarian were all killed mid-compile in
+    # 3-row groups while every 1-2 row group completed).
+    scale = float(os.environ.get("BENCH_EXTRA_BUDGET_S", 900)) / 900.0
+    run_group(["lgd_retinanet_r50"], 900 * scale)
+    for group, budget in (
+        (["lgd_faster_rcnn_r50"], 1200),
+        (["lgd_retinanet_r101_dcnv2"], 1200),
+        (["lgd_fcos_r50", "lgd_retinanet_r50_eval"], 900),
+        (["lgd_retinanet_swin_t"], 900),
+        (["lgd_poto_r50_hungarian"], 1200),
+        (["lgd_poto_r50_greedy"], 1200),
+    ):
+        run_group(group, budget * scale)
 
     if table.get("lgd_retinanet_r50") is None:
         sys.exit(1)

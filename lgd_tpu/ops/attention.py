@@ -171,14 +171,25 @@ def _on_tpu() -> bool:
         return False
 
 
+# below this sequence length the fused kernel's per-(batch, head) grid
+# launch costs more than it saves: the whole (N, N) problem fits VMEM-side
+# fusions XLA already does. Measured at the LGD teacher's shapes
+# (B16, H8, N33, D32, f32, fwd+bwd on v5e): pallas 2.23 ms vs einsum
+# 1.57 ms; the kernel wins (and bounds HBM) for long instance sets.
+_PALLAS_MIN_SEQ = 128
+
+
 def masked_attention(q, k, v, key_valid, scale: float, impl: str = "auto"):
-    """impl: 'pallas' | 'reference' | 'auto' (pallas iff the process backend
-    is TPU — the choice is trace-time static). Thread the choice explicitly
+    """impl: 'pallas' | 'reference' | 'auto'. 'auto' picks the fused Pallas
+    kernel iff the process backend is TPU AND the key/query sets are long
+    enough for the kernel to beat XLA's fused einsums (trace-time static
+    shape test — see _PALLAS_MIN_SEQ). Thread the choice explicitly
     (cfg.TPU.ATTENTION_IMPL) when the computation targets a device class
     other than the process default (e.g. CPU-mesh dry-runs in a TPU
     process)."""
     if impl not in ("auto", "pallas", "reference"):
         raise ValueError(f"unknown attention impl {impl!r}")
-    if impl == "pallas" or (impl == "auto" and _on_tpu()):
+    big = max(q.shape[-2], k.shape[-2]) >= _PALLAS_MIN_SEQ
+    if impl == "pallas" or (impl == "auto" and big and _on_tpu()):
         return masked_attention_pallas(q, k, v, key_valid, scale)
     return masked_attention_reference(q, k, v, key_valid, scale)
