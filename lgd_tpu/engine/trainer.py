@@ -60,8 +60,34 @@ def _get_infer(model, mesh):
         return model.apply(variables, image, image_size, gt,
                            eval_teacher, method=model.inference)
 
-    _INFER_CACHE[key] = (model, infer)
-    return infer
+    # Per-canvas-shape AOT compile with a multi-process barrier. Compilation
+    # is process-local, so ranks may finish it arbitrarily far apart (e.g.
+    # one rank hits the persistent compile cache); if the fast rank then
+    # enters the first collective alone, Gloo's hard 30 s context-init
+    # timeout kills the run (same failure mode as the train step, fixed in
+    # tests/mp_worker.py). Bucketing is rank-invariant (TestLoader), so all
+    # ranks compile the same shape sequence and the barrier names line up.
+    aot = {}
+    counter = [0]
+
+    def call(variables, image, image_size, gt, eval_teacher):
+        k = (image.shape, eval_teacher)
+        fn = aot.get(k)
+        if fn is None:
+            fn = infer.lower(variables, image, image_size, gt,
+                             eval_teacher).compile()
+            if jax.process_count() > 1:
+                from jax._src import distributed
+
+                distributed.global_state.client.wait_at_barrier(
+                    f"lgd_eval_compile_{counter[0]}",
+                    timeout_in_ms=1_800_000)
+            counter[0] += 1
+            aot[k] = fn
+        return fn(variables, image, image_size, gt)
+
+    _INFER_CACHE[key] = (model, call)
+    return call
 
 
 def do_test(cfg, model, variables, eval_teacher: bool = False,
