@@ -366,9 +366,21 @@ class TestLoader:
         for b, idxs in self._sched:
             mine = idxs[self.rank * lbs:(self.rank + 1) * lbs]
             samples = []
+            dummies = []
             for i in mine:
-                s = self.mapper(self._all_dicts[i], rng)
+                try:
+                    s = self.mapper(self._all_dicts[i], rng)
+                except OSError as e:  # unreadable image file
+                    logger.warning("skipping unreadable eval image %s: %s",
+                                   self._all_dicts[i].get("file_name"), e)
+                    s = None
                 if s is None:  # unreadable image: keep the schedule intact
+                    dummies.append(len(samples))
                     s = self._dummy_sample()
                 samples.append(s)
-            yield self._flush(samples, canvases[b])
+            batch = self._flush(samples, canvases[b])
+            for i in dummies:
+                # unreadable slots must not reach the evaluator (their
+                # image_id is None); mark them like padding slots
+                batch["_meta"][i] = None
+            yield batch

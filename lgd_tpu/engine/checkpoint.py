@@ -66,3 +66,74 @@ class PeriodicCheckpointer:
     def step(self, iteration: int, state):
         if (iteration + 1) % self.period == 0 or iteration == self.max_iter - 1:
             self.ckpt.save(iteration, jax.device_get(state))
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, name))
+        else:
+            out[name] = v
+    return out
+
+
+def save_variables_npz(path: str, params, frozen=None):
+    """Serialize a full variables tree to one .npz (the 'converted weights
+    file' format for --eval-only without a prior training run; our
+    torch-checkpoint converters emit this)."""
+    import numpy as np
+
+    flat = {f"params/{k}": np.asarray(v)
+            for k, v in _flatten(jax.device_get(params)).items()}
+    if frozen:
+        flat.update({f"frozen/{k}": np.asarray(v)
+                     for k, v in _flatten(jax.device_get(frozen)).items()})
+    np.savez(path, **flat)
+
+
+def load_weights(path: str, state):
+    """cfg.MODEL.WEIGHTS resolution for --eval-only (the reference
+    evaluates the weights file directly, /root/reference/train.py:267-270):
+
+    - an OUTPUT_DIR (or its checkpoints/ subdir) from a previous run ->
+      restore the latest full TrainState checkpoint;
+    - a .npz full-variables dump (save_variables_npz) -> merge into params
+      + frozen;
+    - anything else -> the converted-torch backbone importer
+      (utils/weight_convert.maybe_load_pretrained handles pkl/pth).
+    """
+    import numpy as np
+
+    if os.path.isdir(path):
+        root = path
+        if os.path.basename(os.path.normpath(path)) == "checkpoints":
+            root = os.path.dirname(os.path.normpath(path))
+        ckpt = Checkpointer(root)
+        if ckpt.latest_step() is None:
+            raise FileNotFoundError(
+                f"MODEL.WEIGHTS={path}: no checkpoint found")
+        state, _ = ckpt.resume_or_load(state, resume=True)
+        return state
+    if path.endswith(".npz"):
+        raw = np.load(path)
+        params = jax.device_get(state.params)
+        frozen = jax.device_get(state.frozen)
+        n = 0
+        for key in raw.files:
+            coll, *parts = key.split("/")
+            node = {"params": params, "frozen": frozen}[coll]
+            for p in parts[:-1]:
+                node = node[p]
+            leaf = parts[-1]
+            assert tuple(node[leaf].shape) == tuple(raw[key].shape), key
+            node[leaf] = raw[key].astype(np.asarray(node[leaf]).dtype)
+            n += 1
+        logger.info("Loaded %d tensors from %s", n, path)
+        import jax.numpy as jnp
+
+        return state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            frozen=jax.tree.map(jnp.asarray, frozen))
+    raise FileNotFoundError(path)

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..data.loader import TestLoader, TrainLoader
 from ..evaluation import get_evaluator
+from ..parallel.barrier import unique_barrier_name, wait_at_barrier
 from ..parallel.mesh import make_mesh, shard_batch
 from .checkpoint import Checkpointer, PeriodicCheckpointer
 from .events import (
@@ -60,15 +61,14 @@ def _get_infer(model, mesh):
         return model.apply(variables, image, image_size, gt,
                            eval_teacher, method=model.inference)
 
-    # Per-canvas-shape AOT compile with a multi-process barrier. Compilation
-    # is process-local, so ranks may finish it arbitrarily far apart (e.g.
-    # one rank hits the persistent compile cache); if the fast rank then
-    # enters the first collective alone, Gloo's hard 30 s context-init
-    # timeout kills the run (same failure mode as the train step, fixed in
-    # tests/mp_worker.py). Bucketing is rank-invariant (TestLoader), so all
-    # ranks compile the same shape sequence and the barrier names line up.
+    # Per-canvas-shape AOT compile with a multi-process barrier (see
+    # parallel/barrier.py for why a barrier must follow each compile).
+    # Bucketing is rank-invariant (TestLoader), so all ranks take the same
+    # per-shape compile-miss sequence; the barrier name is derived from the
+    # compile key (shape + branch) plus a per-key counter, so even ranks
+    # with different *overall* miss orders (e.g. after a cache clear) line
+    # up at the same name for the same compile event.
     aot = {}
-    counter = [0]
 
     def call(variables, image, image_size, gt, eval_teacher):
         k = (image.shape, eval_teacher)
@@ -76,14 +76,20 @@ def _get_infer(model, mesh):
         if fn is None:
             fn = infer.lower(variables, image, image_size, gt,
                              eval_teacher).compile()
-            if jax.process_count() > 1:
-                from jax._src import distributed
-
-                distributed.global_state.client.wait_at_barrier(
-                    f"lgd_eval_compile_{counter[0]}",
-                    timeout_in_ms=1_800_000)
-            counter[0] += 1
+            tag = "lgd_eval_compile_{}x{}_{}".format(
+                image.shape[1], image.shape[2], int(bool(eval_teacher)))
+            wait_at_barrier(unique_barrier_name(tag))
             aot[k] = fn
+        # AOT executables (unlike jit dispatch) do NOT auto-reshard their
+        # inputs: when do_train capped the mesh (TPU.TRAIN_DEVICES or batch
+        # divisibility) the trained params are committed to an N<n_dev
+        # device mesh and calling the full-mesh executable raises
+        # "Compiled object called with input sharding that does not match".
+        # device_put is a no-op when the sharding already matches.
+        variables = jax.device_put(variables, rep)
+        image = jax.device_put(image, bs)
+        image_size = jax.device_put(image_size, bs)
+        gt = jax.device_put(gt, bs)
         return fn(variables, image, image_size, gt)
 
     _INFER_CACHE[key] = (model, call)

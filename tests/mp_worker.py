@@ -73,10 +73,9 @@ def main():
     # collective within milliseconds of each other.
     compiled = jstep.lower(state, sharded).compile()
     print(f"[{rank}] compiled; waiting at barrier", flush=True)
-    from jax._src import distributed
+    from lgd_tpu.parallel.barrier import wait_at_barrier
 
-    distributed.global_state.client.wait_at_barrier(
-        "lgd_mp_compile_done", timeout_in_ms=1_800_000)
+    wait_at_barrier("lgd_mp_compile_done")
 
     new_state, metrics = compiled(state, sharded)
     jax.block_until_ready(metrics)

@@ -80,3 +80,19 @@ def test_eval_batched_8dev_matches_batch1(setup):
     for k in ("AP", "AP50", "AR@100"):
         np.testing.assert_allclose(res1["bbox"][k], res8["bbox"][k],
                                    atol=1e-3, err_msg=k)
+
+
+def test_eval_after_capped_mesh_training(setup):
+    """Regression (VERDICT r3 weak #1): when do_train capped the mesh
+    (TPU.TRAIN_DEVICES / batch divisibility, trainer.py:195-209) the params
+    are committed to an N<8-device mesh; the full-mesh AOT eval executable
+    must not reject them ("Compiled object called with input sharding that
+    does not match") — _get_infer device_puts onto the eval shardings."""
+    cfg, model, variables = setup
+    from lgd_tpu.parallel.mesh import make_mesh, replicated
+
+    small = make_mesh(("data",), devices=jax.devices()[:1])
+    v1 = jax.device_put(variables, replicated(small))
+    jax.block_until_ready(v1)
+    res, dets = _run(cfg, model, v1, 8, "capped1dev")
+    assert "bbox" in res and len(dets) > 0

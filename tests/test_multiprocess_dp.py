@@ -77,3 +77,37 @@ def test_two_process_dp_matches_single_process(tmp_path):
     for k in single:
         np.testing.assert_allclose(m0[k], single[k], rtol=2e-4, atol=1e-5,
                                    err_msg=k)
+
+
+def test_two_process_eval_barrier_lockstep(tmp_path):
+    """The per-canvas-shape AOT eval barrier sequence (trainer._get_infer)
+    across 2 processes: landscape/portrait x student/teacher = 4 compile
+    events; barrier names derive from the compile key so both ranks wait at
+    the same name for the same event (ADVICE r3 #1/#3). Detections must
+    agree across ranks (the batch is globally assembled)."""
+    port = _free_port()
+    outs = [str(tmp_path / f"eval_{r}.json") for r in range(2)]
+    procs = []
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = ""
+    for r in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_eval_worker.py"),
+             str(r), "2", str(port), outs[r]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=2700)
+        logs.append(out)
+    for r, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{log[-4000:]}"
+        assert "MP_EVAL_WORKER_OK" in log
+
+    m0 = json.load(open(outs[0]))
+    m1 = json.load(open(outs[1]))
+    assert set(m0) == {"64x96_tea0", "64x96_tea1",
+                       "96x64_tea0", "96x64_tea1"}
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, err_msg=k)

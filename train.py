@@ -96,7 +96,22 @@ def main(args):
         init_state, _ = make_train_step(cfg, model)
         state = init_state(jax.random.PRNGKey(0), batch)
         ckpt = Checkpointer(cfg.OUTPUT_DIR)
-        state, _ = ckpt.resume_or_load(state, resume=True)
+        if ckpt.latest_step() is not None:
+            state, _ = ckpt.resume_or_load(state, resume=True)
+        elif cfg.MODEL.WEIGHTS:
+            # no prior run in OUTPUT_DIR: evaluate cfg.MODEL.WEIGHTS
+            # directly, like the reference (train.py:267-270) — a full
+            # TrainState checkpoint dir, a converted-.npz variables dump,
+            # or a torch/d2 backbone file
+            from lgd_tpu.engine.checkpoint import load_weights
+
+            if (os.path.isdir(cfg.MODEL.WEIGHTS)
+                    or cfg.MODEL.WEIGHTS.endswith(".npz")):
+                state = load_weights(cfg.MODEL.WEIGHTS, state)
+            else:
+                from lgd_tpu.utils.weight_convert import maybe_load_pretrained
+
+                state = maybe_load_pretrained(cfg, state)
         variables = {"params": state.params}
         if state.frozen:
             variables["frozen"] = state.frozen
