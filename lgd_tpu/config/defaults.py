@@ -247,6 +247,13 @@ _C.TPU.SEGMASK_STRIDE = 8           # host rasterizes GT masks at this stride
 _C.TPU.MASK_CROP_SIZE = 56          # exact per-GT polygon crop raster (2x the
                                     # 28x28 mask-head target resolution)
 _C.TPU.ATTENTION_IMPL = "auto"      # teacher MHA: auto | pallas | reference
+_C.TPU.DCN_IMPL = "auto"            # auto | dense | gather (ops/deform_conv
+                                    # .py): dense = one-hot-matmul path,
+                                    # exact in y only within +-6 feature px;
+                                    # gather = exact for any offset. auto =
+                                    # dense in training (speed; offsets are
+                                    # small), gather at eval (converted-
+                                    # weight exactness).
 _C.TPU.ROI_ALIGN_IMPL = "dense"     # dense | patch | gather (ops/roi_align.py).
                                     # patch (contiguous-window gather +
                                     # small matmuls) measured 6x slower

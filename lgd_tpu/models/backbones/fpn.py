@@ -80,11 +80,15 @@ class FPN(nn.Module):
                 if self.top_block_in_feature in bottom_up
                 else outputs[self.top_block_in_feature]
             )
+            # explicit symmetric pad=1, NOT "SAME": for stride 2 on
+            # even-sized inputs flax SAME pads (0, 1) while detectron2's
+            # Conv2d(3, stride=2, padding=1) pads (1, 1) — a 1 px window
+            # shift that breaks parity with converted reference weights
             p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                         padding="SAME", dtype=self.dtype,
+                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
                          kernel_init=c2x, name="top_p6")(src)
             p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                         padding="SAME", dtype=self.dtype,
+                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
                          kernel_init=c2x, name="top_p7")(nn.relu(p6))
             outputs[f"p{last_level + 1}"] = p6
             outputs[f"p{last_level + 2}"] = p7

@@ -40,6 +40,7 @@ class BottleneckBlock(nn.Module):
     dilation: int = 1
     deform_modulated: bool = False
     use_deform: bool = False
+    dcn_impl: str = "dense"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -71,6 +72,7 @@ class BottleneckBlock(nn.Module):
                 dilation=self.dilation,
                 groups=self.num_groups,
                 modulated=self.deform_modulated,
+                impl=self.dcn_impl,
                 norm="none",  # norm applied at block level (uniform
                 # conv2_norm naming across plain/deform blocks, so the
                 # detectron2 res{s}.{b}.conv2.norm.* keys convert 1:1)
@@ -101,6 +103,7 @@ class DeformConvUnit(nn.Module):
     dilation: int = 1
     groups: int = 1
     modulated: bool = True
+    impl: str = "dense"
     norm: str = "FrozenBN"
     dtype: Any = jnp.bfloat16
 
@@ -125,7 +128,7 @@ class DeformConvUnit(nn.Module):
         out = deform_conv2d_params(
             x, weight, offsets, mask,
             stride=self.strides, dilation=self.dilation, groups=self.groups,
-            dtype=self.dtype)
+            dtype=self.dtype, impl=self.impl)
         norm = get_norm(self.norm, self.features, dtype=self.dtype,
                         name="norm")
         return norm(out) if norm is not None else out
@@ -146,10 +149,19 @@ class ResNet(nn.Module):
     out_features: Sequence[str] = ("res3", "res4", "res5")
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
+    dcn_impl: str = "auto"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        # `deterministic` (the train flag, threaded by the CT students):
+        # ResNet has no stochastic layers, but DCN_IMPL='auto' routes the
+        # deformable conv to the fast dense path in training and the
+        # exact-for-any-offset gather path at eval (the dense path clamps
+        # |dy| > 6 feature px — ops/deform_conv.py:22-29).
+        dcn_impl = self.dcn_impl
+        if dcn_impl == "auto":
+            dcn_impl = "gather" if deterministic else "dense"
         x = x.astype(self.dtype)
         # stem
         x = nn.Conv(self.stem_out_channels, (7, 7), strides=(2, 2),
@@ -185,6 +197,7 @@ class ResNet(nn.Module):
                     dilation=dilation,
                     use_deform=self.deform_on_per_stage[stage_idx],
                     deform_modulated=self.deform_modulated,
+                    dcn_impl=dcn_impl,
                     dtype=self.dtype,
                     name=f"{name}_{block_idx}",
                 )(x)
@@ -217,6 +230,7 @@ def build_resnet(cfg, dtype=jnp.bfloat16) -> ResNet:
         out_features=tuple(r.OUT_FEATURES),
         deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
         deform_modulated=r.DEFORM_MODULATED,
+        dcn_impl=cfg.TPU.DCN_IMPL,
         dtype=dtype,
         name="bottom_up",
     )

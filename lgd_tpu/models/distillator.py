@@ -102,6 +102,22 @@ class BaseDistillator(nn.Module):
         self.adapter = build_adapter(cfg, dtype=self.dtype)
         self.distill_lambda = float(cfg.MODEL.DISTILLATOR.LAMBDA)
 
+    def _predict_pair(self, feats, tea_feats):
+        """Student head over BOTH the student and teacher feature pyramids
+        in ONE call, stacked on the batch axis, then split.
+
+        The reference calls the head twice (student.predict in
+        forward_student and again in forward_teacher, distillator.py:88,107);
+        per-sample ops (conv / GroupNorm / Scale) make the stacked pass
+        numerically identical while halving the traced head graph (XLA
+        compile time) and doubling the matmul batch (MXU utilization)."""
+        a = self._head_features(feats)
+        b = self._head_features(tea_feats)
+        stacked = [jnp.concatenate([x, y], axis=0) for x, y in zip(a, b)]
+        outs = self.student.predict(stacked)
+        n = a[0].shape[0]
+        return (tuple(o[:n] for o in outs), tuple(o[n:] for o in outs))
+
     def distill_loss(self, stu_feats: Dict[str, jax.Array],
                      tea_feats: Dict[str, jax.Array], distill_flag):
         """lambda * MSE over InstanceNorm'd, adapter-mapped features
@@ -144,18 +160,15 @@ class DistillatorRetinaNet(BaseDistillator):
         padded_hw = (images.shape[1], images.shape[2])
         anchors, _ = build_anchors(cfg, padded_hw)
 
-        # student
-        raw, feats = self.student(images, image_sizes)
-        logits, deltas = self.student.predict(self._head_features(feats))
+        # student fwd; dynamic teacher from GT + student FPN feats; then the
+        # student's own head scores BOTH pyramids in one stacked pass
+        raw, feats = self.student(images, image_sizes, train=True)
+        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
+        (logits, deltas), (logits_tea, deltas_tea) = self._predict_pair(
+            feats, tea_feats)
         gt_labels, gt_boxes = label_anchors(cfg, anchors, gt)
         losses, loss_normalizer = retinanet_losses(
             cfg, logits, deltas, gt_labels, gt_boxes, anchors, loss_normalizer
-        )
-
-        # dynamic teacher, scored by the student's head + loss fn
-        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
-        logits_tea, deltas_tea = self.student.predict(
-            self._head_features(tea_feats)
         )
         losses_tea, loss_normalizer = retinanet_losses(
             cfg, logits_tea, deltas_tea, gt_labels, gt_boxes, anchors,
@@ -195,7 +208,7 @@ class DistillatorGeneralizedRCNN(BaseDistillator):
     def train_forward(self, images, image_sizes, gt: BatchedInstances,
                       distill_flag, loss_normalizer):
         padded_hw = (images.shape[1], images.shape[2])
-        raw, feats = self.student(images, image_sizes)
+        raw, feats = self.student(images, image_sizes, train=True)
         losses = self.student.predict(feats, image_sizes, gt)
 
         tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
@@ -240,15 +253,14 @@ class DistillatorFCOS(_ShiftBasedDistillator):
         padded_hw = (images.shape[1], images.shape[2])
         shifts, counts, strides, soi_lo, soi_hi = build_shifts(cfg, padded_hw)
 
-        raw, feats = self.student(images, image_sizes)
-        logits, deltas, ctr = self.student.predict(self._head_features(feats))
+        raw, feats = self.student(images, image_sizes, train=True)
+        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
+        (logits, deltas, ctr), (lt, dt, ct) = self._predict_pair(
+            feats, tea_feats)
         gt_cls, gt_deltas, gt_ctr = fcos_ground_truth(
             cfg, shifts, strides, soi_lo, soi_hi, gt)
         losses = fcos_losses(cfg, gt_cls, gt_deltas, gt_ctr,
                              logits, deltas, ctr)
-
-        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
-        lt, dt, ct = self.student.predict(self._head_features(tea_feats))
         losses_tea = fcos_losses(cfg, gt_cls, gt_deltas, gt_ctr, lt, dt, ct)
         losses.update({k + ".tea": v for k, v in losses_tea.items()})
         losses["loss_distill"] = self.distill_loss(feats, tea_feats,
@@ -282,15 +294,14 @@ class DistillatorATSS(_ShiftBasedDistillator):
         padded_hw = (images.shape[1], images.shape[2])
         shifts, counts, strides, *_ = build_shifts(cfg, padded_hw)
 
-        raw, feats = self.student(images, image_sizes)
-        logits, deltas, ctr = self.student.predict(self._head_features(feats))
+        raw, feats = self.student(images, image_sizes, train=True)
+        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
+        (logits, deltas, ctr), (lt, dt, ct) = self._predict_pair(
+            feats, tea_feats)
         gt_cls, gt_deltas, gt_ctr = atss_ground_truth(
             cfg, shifts, counts, strides, gt)
         losses = atss_losses(cfg, gt_cls, gt_deltas, gt_ctr,
                              logits, deltas, ctr)
-
-        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
-        lt, dt, ct = self.student.predict(self._head_features(tea_feats))
         losses_tea = atss_losses(cfg, gt_cls, gt_deltas, gt_ctr, lt, dt, ct)
         losses.update({k + ".tea": v for k, v in losses_tea.items()})
         losses["loss_distill"] = self.distill_loss(feats, tea_feats,
@@ -326,14 +337,12 @@ class DistillatorPOTO(_ShiftBasedDistillator):
         padded_hw = (images.shape[1], images.shape[2])
         shifts, counts, strides, *_ = build_shifts(cfg, padded_hw)
 
-        raw, feats = self.student(images, image_sizes)
-        logits, deltas = self.student.predict(self._head_features(feats))
+        raw, feats = self.student(images, image_sizes, train=True)
+        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
+        (logits, deltas), (lt, dt) = self._predict_pair(feats, tea_feats)
         gt_cls, gt_deltas = poto_ground_truth(cfg, shifts, strides, gt,
                                               logits, deltas)
         losses = poto_losses(cfg, gt_cls, gt_deltas, logits, deltas)
-
-        tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
-        lt, dt = self.student.predict(self._head_features(tea_feats))
         losses_tea = poto_losses(cfg, gt_cls, gt_deltas, lt, dt)
         losses.update({k + ".tea": v for k, v in losses_tea.items()})
         losses["loss_distill"] = self.distill_loss(feats, tea_feats,

@@ -154,9 +154,10 @@ class FCOSCT(nn.Module):
             xx < image_sizes[:, 1, None, None, None])
         return jnp.where(mask, x, 0.0)
 
-    def __call__(self, images, image_sizes):
+    def __call__(self, images, image_sizes, train: bool = False):
+        # train=True enables backbone stochastic depth (Swin drop-path)
         x = self.normalize(images, image_sizes).astype(self.dtype)
-        raw = self.bottom_up(x)
+        raw = self.bottom_up(x, deterministic=not train)
         feats = self.fpn(raw)
         return raw, feats
 
@@ -250,8 +251,11 @@ def fcos_ground_truth(cfg, shifts, shift_strides, soi_lo, soi_hi,
         )
         return gt_classes_i, gt_deltas_i, ctr
 
-    return jax.vmap(lambda b, c, v: per_image((b, c, v)))(
-        gt.boxes, gt.classes, gt.valid)
+    # lax.map: one (M, R) slab at a time. vmap materializes (B, M, R) f32
+    # workspaces that turn this arithmetic-trivial op into pure HBM traffic
+    # — measured 3.6x slower for the identical RetinaNet assignment
+    # (retinanet.py:224-228, PROFILES.md).
+    return jax.lax.map(per_image, (gt.boxes, gt.classes, gt.valid))
 
 
 def fcos_losses(cfg, gt_classes, gt_deltas, gt_centerness,

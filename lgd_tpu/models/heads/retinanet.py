@@ -149,10 +149,12 @@ class RetinaNetCT(nn.Module):
         )
         return jnp.where(mask, x, 0.0)
 
-    def __call__(self, images, image_sizes):
-        """-> (raw_features dict, fpn features dict)."""
+    def __call__(self, images, image_sizes, train: bool = False):
+        """-> (raw_features dict, fpn features dict). ``train`` enables the
+        backbone's stochastic regularizers (Swin drop-path; the reference
+        trains Swin-T with drop_path_rate=0.2, swin_transformer.py:167,388)."""
         x = self.normalize(images, image_sizes).astype(self.dtype)
-        raw = self.bottom_up(x)
+        raw = self.bottom_up(x, deterministic=not train)
         feats = self.fpn(raw)
         return raw, feats
 

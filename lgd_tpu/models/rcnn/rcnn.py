@@ -87,9 +87,10 @@ class RCNNCT(nn.Module):
             xx < image_sizes[:, 1, None, None, None])
         return jnp.where(mask, x, 0.0)
 
-    def __call__(self, images, image_sizes):
+    def __call__(self, images, image_sizes, train: bool = False):
+        # train=True enables backbone stochastic depth (Swin drop-path)
         x = self.normalize(images, image_sizes).astype(self.dtype)
-        raw = self.bottom_up(x)
+        raw = self.bottom_up(x, deterministic=not train)
         feats = self.fpn(raw) if self.use_fpn else dict(raw)
         return raw, feats
 

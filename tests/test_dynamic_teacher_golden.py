@@ -137,6 +137,31 @@ def _copy_conv(dst, tmod):
     dst["bias"] = np.asarray(tmod.bias.detach().numpy())
 
 
+def copy_teacher_weights(p, oracle):
+    """Copy a TorchTeacherTail's weights into our DynamicTeacher param tree
+    (shared with the composed full-system golden, test_full_system_golden)."""
+    le = p["label_encoder_"]
+    _copy_stn(le["stn_desc"], oracle.label_encoder_.stn_desc)
+    _copy_stn(le["stn_feat"], oracle.label_encoder_.stn_feat)
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        _copy_token_mlp(le[name], getattr(oracle.label_encoder_, name))
+    _copy_linear(p["canoni_proj_1D"]["linear"], oracle.canoni_proj_1D)
+    _copy_conv(p["student_proj_2D"]["conv"], oracle.student_proj_2D)
+    _copy_conv(p["local_inst_proj_2D"], oracle.local_inst_proj_2D)
+    _copy_linear(p["global_ctx_proj_1D"], oracle.global_ctx_proj_1D)
+    _copy_linear(p["local_inst_proj_1D"], oracle.local_inst_proj_1D)
+    for i in range(3):
+        _copy_conv(p[f"refine_{i + 1}"]["conv"], oracle.refine[i])
+    C_ = oracle.canoni_proj_1D.in_features
+    w_in = oracle.mha.in_proj_weight.detach().numpy()
+    b_in = oracle.mha.in_proj_bias.detach().numpy()
+    mha = p["multi_head_attn"]
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        mha[name]["kernel"] = w_in[i * C_:(i + 1) * C_].T.copy()
+        mha[name]["bias"] = b_in[i * C_:(i + 1) * C_].copy()
+    _copy_linear(mha["out_proj"], oracle.mha.out_proj)
+
+
 def test_dynamic_teacher_matches_torch_reference():
     torch.manual_seed(0)
     oracle = TorchTeacherTail().eval()
@@ -163,25 +188,7 @@ def test_dynamic_teacher_matches_torch_reference():
     p = jax.tree.map(np.array, variables["params"])
 
     # ---- copy weights into our param tree ----------------------------
-    le = p["label_encoder_"]
-    _copy_stn(le["stn_desc"], oracle.label_encoder_.stn_desc)
-    _copy_stn(le["stn_feat"], oracle.label_encoder_.stn_feat)
-    for name in ("conv1", "conv2", "conv3", "conv4"):
-        _copy_token_mlp(le[name], getattr(oracle.label_encoder_, name))
-    _copy_linear(p["canoni_proj_1D"]["linear"], oracle.canoni_proj_1D)
-    _copy_conv(p["student_proj_2D"]["conv"], oracle.student_proj_2D)
-    _copy_conv(p["local_inst_proj_2D"], oracle.local_inst_proj_2D)
-    _copy_linear(p["global_ctx_proj_1D"], oracle.global_ctx_proj_1D)
-    _copy_linear(p["local_inst_proj_1D"], oracle.local_inst_proj_1D)
-    for i in range(3):
-        _copy_conv(p[f"refine_{i + 1}"]["conv"], oracle.refine[i])
-    w_in = oracle.mha.in_proj_weight.detach().numpy()
-    b_in = oracle.mha.in_proj_bias.detach().numpy()
-    mha = p["multi_head_attn"]
-    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
-        mha[name]["kernel"] = w_in[i * C:(i + 1) * C].T.copy()
-        mha[name]["bias"] = b_in[i * C:(i + 1) * C].copy()
-    _copy_linear(mha["out_proj"], oracle.mha.out_proj)
+    copy_teacher_weights(p, oracle)
 
     tea, masks, token_valid = model.apply({"params": p}, gt, stu, (H, W))
 

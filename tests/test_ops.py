@@ -171,3 +171,85 @@ def test_topk_flat_pairs_adversarial_one_anchor_dominates():
     v_ref, i_ref = jax.lax.top_k(x.reshape(1, -1), 128)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_topk_flat_pairs_ties_at_kth_value():
+    """Constructed ties at the k-th value (VERDICT r3 weak #7): the VALUES
+    must match flat lax.top_k exactly; tied entries may resolve to different
+    (anchor, class) pairs (documented, ops/topk.py:15-17), but every
+    returned index must address an element equal to its returned value, and
+    indices strictly above the tie value must match the flat reference."""
+    from lgd_tpu.ops.topk import topk_flat_pairs
+
+    rng = np.random.RandomState(11)
+    B, R, K, k = 2, 64, 16, 24
+    x = np.zeros((B, R, K), np.float32)
+    # 10 strict-top entries, then a 30-way tie at 1.0 straddling the k-th
+    # position, spread across more anchors than the preselect keeps strictly
+    for b in range(B):
+        rows = rng.choice(R, 10, replace=False)
+        x[b, rows, 0] = 2.0 + rng.rand(10)
+        tie_rows = rng.choice(R, 30, replace=False)
+        x[b, tie_rows, 1] = 1.0
+        x[b, tie_rows, 2] = 1.0
+    xj = jnp.asarray(x)
+    v, i = topk_flat_pairs(xj, k)
+    v_ref, i_ref = jax.lax.top_k(xj.reshape(B, R * K), k)
+    v, i = np.asarray(v), np.asarray(i)
+    v_ref, i_ref = np.asarray(v_ref), np.asarray(i_ref)
+    np.testing.assert_array_equal(v, v_ref)
+    flat = x.reshape(B, -1)
+    for b in range(B):
+        # self-consistency: indices address elements with the claimed value
+        np.testing.assert_array_equal(flat[b][i[b]], v[b])
+        # no duplicate pairs
+        assert len(set(i[b].tolist())) == k
+        strict = v_ref[b] > v_ref[b, -1]
+        np.testing.assert_array_equal(i[b][strict], i_ref[b][strict])
+
+
+def test_nms_tiled_matches_untiled_at_rpn_pool_shape():
+    """Tiled NMS equivalence at the real RPN training pool shape (5 levels
+    x 2k proposals) with adversarial duplicate scores and duplicate boxes
+    (VERDICT r3 weak #7). jnp.argsort is stable, so both paths process the
+    identical score order and must return the identical keep mask."""
+    from lgd_tpu.ops.nms import nms_mask
+
+    rng = np.random.RandomState(7)
+    N = 5 * 2000
+    # 400 distinct base boxes, each repeated ~25x (exact duplicates => IoU
+    # 1.0 clusters), plus jittered variants for partial overlaps
+    base = np.concatenate([
+        rng.rand(400, 2) * 500,
+        30 + rng.rand(400, 2) * 120,
+    ], axis=1)
+    base[:, 2:] += base[:, :2]
+    idx = rng.randint(0, 400, N)
+    boxes = base[idx].copy()
+    jitter = rng.randint(0, 2, (N, 1)) * (rng.rand(N, 4) * 8 - 4)
+    boxes = (boxes + jitter).astype(np.float32)
+    # heavily quantized scores => massive duplicate-score groups
+    scores = (rng.randint(0, 12, N) / 12.0).astype(np.float32)
+    valid = rng.rand(N) > 0.05
+
+    bj, sj, vj = jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+    keep_tiled = np.asarray(nms_mask(bj, sj, vj, 0.7, tile=2048))
+    keep_full = np.asarray(nms_mask(bj, sj, vj, 0.7, tile=N))
+    np.testing.assert_array_equal(keep_tiled, keep_full)
+    assert keep_tiled.sum() > 0
+
+
+def test_nms_iou_exactly_at_threshold_not_suppressed():
+    """Greedy NMS suppresses on IoU > thr STRICTLY (torchvision semantics);
+    a pair at exactly the threshold survives in both code paths."""
+    from lgd_tpu.ops.nms import nms_mask
+
+    # IoU(A, B) = 50 / 150 = 1/3 exactly
+    boxes = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [0.0, 5.0, 10.0, 15.0]])
+    scores = jnp.asarray([0.9, 0.8])
+    valid = jnp.asarray([True, True])
+    thr = float(np.float32(50.0) / np.float32(150.0))
+    keep = np.asarray(nms_mask(boxes, scores, valid, thr))
+    np.testing.assert_array_equal(keep, [True, True])
+    keep2 = np.asarray(nms_mask(boxes, scores, valid, thr - 1e-6))
+    np.testing.assert_array_equal(keep2, [True, False])
