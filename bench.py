@@ -87,7 +87,16 @@ def _bench_train(cfg, batch_size, canvas, n_steps=10, with_masks=False):
                                  max_instances=32, seed=0,
                                  with_masks=with_masks)
     init_state, train_step = make_train_step(cfg, model)
-    state = init_state(jax.random.PRNGKey(0), batch)
+    # init at a TINY canvas: no param depends on the spatial dims, and the
+    # init program is its own remote compile — measured 485 s at the bench
+    # shapes vs ~40 s tiny (the actual train-step compile is only ~80 s;
+    # this is what kept zeroing the driver's 900 s primary-row budget)
+    tiny = make_synthetic_batch(batch_size=1, canvas_hw=(128, 128),
+                                max_instances=32, seed=0,
+                                with_masks=with_masks)
+    # jit the init too: eager flax init dispatches hundreds of individual
+    # ops, each a remote-compile round trip on the tunnel
+    state = jax.jit(init_state)(jax.random.PRNGKey(0), tiny)
     jstep = jax.jit(train_step, donate_argnums=(0,))
     compiled = jstep.lower(state, batch).compile()
     flops = _flops_of(compiled)
@@ -123,7 +132,9 @@ def _bench_eval(cfg, batch_size, canvas):
                                  canvas_hw=(canvas, canvas),
                                  max_instances=32, seed=0)
     init_state, _ = make_train_step(cfg, model)
-    state = init_state(jax.random.PRNGKey(0), batch)
+    tiny = make_synthetic_batch(batch_size=1, canvas_hw=(128, 128),
+                                max_instances=32, seed=0)
+    state = jax.jit(init_state)(jax.random.PRNGKey(0), tiny)
     variables = {"params": state.params}
     if state.frozen:
         variables["frozen"] = state.frozen
