@@ -323,6 +323,15 @@ def main():
                 capture_output=True, text=True, timeout=timeout_s,
             )
             ingest(r.stdout)
+            if r.returncode != 0:
+                # worker crashed (OOM/segfault/uncaught): without this the
+                # row vanishes silently with errors=None (round-4 lesson:
+                # the poto_hungarian worker died rc!=0 and left no trace)
+                for n in names:
+                    if n not in table:
+                        errors.setdefault(
+                            n, f"worker rc={r.returncode}: "
+                               + (r.stderr or "")[-300:])
         except subprocess.TimeoutExpired as e:
             out = e.output
             ingest(out.decode() if isinstance(out, bytes) else out)
