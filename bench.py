@@ -97,7 +97,12 @@ def _bench_train(cfg, batch_size, canvas, n_steps=10, with_masks=False):
     # jit the init too: eager flax init dispatches hundreds of individual
     # ops, each a remote-compile round trip on the tunnel
     state = jax.jit(init_state)(jax.random.PRNGKey(0), tiny)
-    jstep = jax.jit(train_step, donate_argnums=(0,))
+    # BENCH_NO_DONATE=1: retry knob for an axon tunnel-client panic
+    # ("index out of bounds" in loaded_executable_execute) triggered by the
+    # donation alias table of some executables (poto_hungarian, round 4);
+    # the step then keeps both param copies live but executes correctly.
+    donate = (0,) if os.environ.get("BENCH_NO_DONATE") != "1" else ()
+    jstep = jax.jit(train_step, donate_argnums=donate)
     compiled = jstep.lower(state, batch).compile()
     flops = _flops_of(compiled)
 
@@ -323,15 +328,28 @@ def main():
                 capture_output=True, text=True, timeout=timeout_s,
             )
             ingest(r.stdout)
-            if r.returncode != 0:
-                # worker crashed (OOM/segfault/uncaught): without this the
-                # row vanishes silently with errors=None (round-4 lesson:
-                # the poto_hungarian worker died rc!=0 and left no trace)
+            if r.returncode != 0 and any(n not in table for n in names):
+                # worker crashed (OOM / tunnel-client panic): retry the
+                # missing rows once without buffer donation — the axon
+                # client's donation alias handling panicked on the
+                # poto_hungarian executable in round 4
+                missing = [n for n in names if n not in table]
+                print(f"bench: worker rc={r.returncode}; retrying "
+                      f"{missing} with BENCH_NO_DONATE=1",
+                      file=sys.stderr, flush=True)
+                env = dict(os.environ, BENCH_NO_DONATE="1")
+                r2 = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--rows",
+                     ",".join(missing)],
+                    capture_output=True, text=True, timeout=timeout_s,
+                    env=env)
+                ingest(r2.stdout)
                 for n in names:
                     if n not in table:
                         errors.setdefault(
-                            n, f"worker rc={r.returncode}: "
-                               + (r.stderr or "")[-300:])
+                            n, f"worker rc={r.returncode}, no-donate retry "
+                               f"rc={r2.returncode}: "
+                               + (r2.stderr or r.stderr or "")[-300:])
         except subprocess.TimeoutExpired as e:
             out = e.output
             ingest(out.decode() if isinstance(out, bytes) else out)
