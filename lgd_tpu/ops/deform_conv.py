@@ -9,24 +9,35 @@ Two implementations:
 ``impl='dense'`` (default) — bilinear sampling as dense one-hot MATMULS,
 no gather/scatter anywhere. Every bilinear sample factorizes into the outer
 product of two 2-hot vectors: one over a Dy-row window around the output
-row (``Ay``), one over the FULL feature-map row width (``Ax``). Sampling is
-then, per output row, ``out[s,c] = sum_dy Ay[s,dy] * (Ax[s,:] @ rows_dy)``:
-a batched (S x W)@(W x C) MXU matmul per window row. Cost is
-B*Ho*Wo*K*Dy*W*C FLOPs (~38 GFLOP per res4 layer at 640^2, Dy=16) — a few
-ms — where the gather formulation measured 6.6 ms *forward* and its
-backward lowers to scatter-add (measured 8+ ms; 477 ms for block scatter):
-XLA:TPU emits serial per-index DMAs (~57 ns each), so 115k samples/layer
-were issue-rate bound. Forward AND backward here are plain dense matmuls
-and static shifted adds.
+row (``Ay``), one over the row width (``Ax``). Sampling is then, per output
+row, ``out[s,c] = sum_dy Ay[s,dy] * (Ax[s,:] @ rows_dy)``: a batched
+(S x W)@(W x C) MXU matmul per window row. Cost is B*Ho*Wo*K*Dy*W*C FLOPs
+(~38 GFLOP per res4 layer at 640^2, Dy=16) — a few ms — where the gather
+formulation measured 6.6 ms *forward* and its backward lowers to
+scatter-add (measured 8+ ms; 477 ms for block scatter): XLA:TPU emits
+serial per-index DMAs (~57 ns each), so 115k samples/layer were issue-rate
+bound. Forward AND backward here are plain dense matmuls and static
+shifted adds.
 
-Numerics vs the CUDA kernel: exact in x for arbitrary offsets (Ax spans the
-whole row; out-of-image corners carry zero weight, matching
-dmcn_im2col_bilinear's per-corner validity). Exact in y whenever
+On WIDE feature maps a full-row ``Ax`` makes the sampling contraction
+dominate the conv itself (res3 at 640^2: Dy*W = 1280-deep, ~10x the 3x3
+conv's FLOPs), so for W >= 2*((wc-1)*stride + Dx) the x axis is ALSO
+windowed (``x_window='auto'``): output columns are processed in chunks of
+``wc`` whose shared window spans ``(wc-1)*stride + Dx`` input columns —
+the contraction drops to Dy*Dxw (1280 -> 496 at res3) with the exact same
+clamp semantics as y.
+
+Numerics vs the CUDA kernel: exact in x for arbitrary offsets when
+``x_window`` is off (Ax spans the whole row; out-of-image corners carry
+zero weight, matching dmcn_im2col_bilinear's per-corner validity); with
+the x window active, x matches y's contract below. Exact in y whenever
 ``floor(ky*dil + dy_off)`` lies within the Dy-row window around the output
-row (|dy_off| <= (Dy-2)/2 - dil; Dy=16 -> +-6 feature px). Samples farther
-away clamp to the window edge row pair unless the true rows are outside the
-image, in which case they are exactly zero. Offsets are zero-initialized
-and small in trained detectors; the deviation is documented in README.
+row (|dy_off| <= (Dy-2)/2 - dil; Dy=16 -> +-6 feature px; interior columns
+of an x chunk get extra margin). Samples farther away clamp to the window
+edge row/column pair unless the true rows/cols are outside the image, in
+which case they are exactly zero. Offsets are zero-initialized and small
+in trained detectors; the deviation is documented in README, and
+TPU.DCN_IMPL='auto' routes eval to the exact gather path.
 
 ``impl='gather'`` — the original 4-corner gather path, kept as the parity
 oracle for the dense path and for very-large-offset exactness.
@@ -62,6 +73,8 @@ def deform_conv2d_params(
     dtype=jnp.bfloat16,
     impl: str = "dense",
     y_window: int = 16,
+    x_window="auto",
+    x_chunk: int = 16,
 ):
     """Modulated deformable conv.
 
@@ -75,6 +88,10 @@ def deform_conv2d_params(
         impl: 'dense' (one-hot matmuls, default) or 'gather'.
         y_window: dense path's row-window size Dy (y-offsets exact within
             +-((Dy-2)/2 - dilation) feature px).
+        x_window: dense path's column-window size Dx, or None for an exact
+            full-row Ax, or 'auto' (window iff the map is wide enough that
+            windowing at least halves the contraction depth).
+        x_chunk: output columns per shared x window (wc above).
     Returns:
         (B, Ho, Wo, F)
     """
@@ -97,9 +114,15 @@ def deform_conv2d_params(
     base_x = jnp.asarray(np.broadcast_to(base_x, (Ho, Wo, K)), jnp.float32)
 
     if impl == "dense":
+        if x_window == "auto":
+            x_window = (int(y_window)
+                        if W >= 2 * ((x_chunk - 1) * stride + int(y_window))
+                        else None)
         sampled = _sample_dense(x, offsets, mask, base_x,
                                 stride=stride, pad=pad, Dy=int(y_window),
-                                kh=kh, dilation=dilation, Ho=Ho, Wo=Wo, K=K)
+                                kh=kh, dilation=dilation, Ho=Ho, Wo=Wo, K=K,
+                                Dx=None if x_window is None else int(x_window),
+                                wc=int(x_chunk))
     else:
         sampled = _sample_gather(x, offsets, mask, base_y, base_x,
                                  Ho=Ho, Wo=Wo, K=K, dtype=dtype)
@@ -128,15 +151,18 @@ def deform_conv2d_params(
 
 
 def _sample_dense(x, offsets, mask, base_x, *, stride, pad, Dy, kh, dilation,
-                  Ho, Wo, K):
+                  Ho, Wo, K, Dx=None, wc=16):
     """Bilinear sampling as one joint one-hot MATMUL per row chunk (module
     docstring). Per output row the (S, Dy*W) interpolation matrix
     A = Ay (x) Ax contracts against the (Dy*W, C) row strip — contraction
     depth Dy*W (512-1280) keeps the MXU full (the per-dy loop variant with
     depth W=40 measured 7 ms fwd; this measures 0.04 ms at res4 scale).
-    Output rows are processed in chunks bounding the materialized A to a
-    few hundred MB; jax.checkpoint recomputes the builds+matmul in the
-    backward instead of keeping per-chunk residuals."""
+    With ``Dx`` set, output columns are additionally processed in chunks of
+    ``wc`` sharing a (wc-1)*stride + Dx column window, dropping the depth
+    to Dy*Dxw on wide maps (module docstring). Output rows are processed in
+    chunks bounding the materialized A to a few hundred MB; jax.checkpoint
+    recomputes the builds+matmul in the backward instead of keeping
+    per-chunk residuals."""
     B, H, W, C = x.shape
     S = Wo * K
     # window of Dy input rows per output row, centred on the middle tap:
@@ -149,13 +175,27 @@ def _sample_dense(x, offsets, mask, base_x, *, stride, pad, Dy, kh, dilation,
     top = -lo + pad  # zero-padding above row 0 (lo < 0 for Dy >= 4)
     last = (Ho - 1) * stride + lo + Dy - 1 - pad
     bot = max(0, last - (H - 1))
-    xpad = jnp.pad(x, ((0, 0), (top, bot), (0, 0), (0, 0)))
+
+    if Dx is None:
+        col_chunks = None
+        leftx = botx = 0
+        depth = Dy * W
+    else:
+        # column chunk j's window covers absolute input cols starting at
+        # w0*stride - leftx, i.e. x-padded col w0*stride (mirrors y)
+        leftx = (Dx - 2) // 2
+        col_chunks = [(w0, min(wc, Wo - w0)) for w0 in range(0, Wo, wc)]
+        w0l, wcl = col_chunks[-1]
+        lastx = w0l * stride + (wcl - 1) * stride + Dx - 1 - leftx
+        botx = max(0, lastx - (W - 1))
+        depth = Dy * ((wc - 1) * stride + Dx)
+    xpad = jnp.pad(x, ((0, 0), (top, bot), (leftx, botx), (0, 0)))
 
     # A-chunk budget ~256 MB (res3 at 640^2 would otherwise build 1.2 GB)
-    hc = max(1, min(Ho, (2 ** 28) // max(1, B * S * Dy * W * 2)))
+    hc = max(1, min(Ho, (2 ** 28) // max(1, B * S * depth * 2)))
 
     def sample_chunk(xrows, off_c, mask_c, anchor_c, h):
-        """xrows: (B, (h-1)*stride + Dy, W, C); off_c: (B, h, Wo, K, 2)."""
+        """xrows: (B, (h-1)*stride + Dy, Wp, C); off_c: (B, h, Wo, K, 2)."""
         cdt = x.dtype
         off = off_c.astype(jnp.float32)
 
@@ -176,30 +216,64 @@ def _sample_dense(x, offsets, mask, base_x, *, stride, pad, Dy, kh, dilation,
         Ay = wy0 + wy1                             # (B, h, Wo, K, Dy)
         if mask_c is not None:
             Ay = Ay * mask_c[..., None].astype(Ay.dtype)
-        Ay = Ay.reshape(B, h, S, Dy).astype(cdt)
+        Ay = Ay.astype(cdt)
 
-        # ---- x axis: 2-hot over the full row width --------------------
+        # ---- x axis: absolute corner positions ------------------------
         px = base_x[None, :h] + off[..., 1]        # (B, h, Wo, K)
         px = jnp.clip(px, -2.0, W + 1.0)
         ix = jnp.floor(px)
         fx = px - ix
         ixi = ix.astype(jnp.int32)
-        cols = jnp.arange(W, dtype=jnp.int32)
-        # out-of-image corners miss the one-hot entirely -> zero weight,
-        # matching dmcn_im2col_bilinear's per-corner validity
-        Ax = ((1.0 - fx)[..., None] * (cols == ixi[..., None])
-              + fx[..., None] * (cols == ixi[..., None] + 1))
-        Ax = Ax.reshape(B, h, S, W).astype(cdt)
 
-        # ---- joint contraction ----------------------------------------
-        strips = jnp.stack(
-            [jax.lax.slice_in_dim(xrows, dy, dy + (h - 1) * stride + 1,
-                                  stride, axis=1) for dy in range(Dy)],
-            axis=2)                                # (B, h, Dy, W, C)
-        A = (Ay[..., :, None] * Ax[..., None, :]).reshape(B, h, S, Dy * W)
-        out = jnp.einsum("bhsk,bhkc->bhsc", A,
-                         strips.reshape(B, h, Dy * W, C),
-                         preferred_element_type=jnp.float32)
+        def strips_of(xr):
+            # Dy shifted row views of the window -> (B, h, Dy, width, C)
+            return jnp.stack(
+                [jax.lax.slice_in_dim(xr, dy, dy + (h - 1) * stride + 1,
+                                      stride, axis=1) for dy in range(Dy)],
+                axis=2)
+
+        if Dx is None:
+            cols = jnp.arange(W, dtype=jnp.int32)
+            # out-of-image corners miss the one-hot entirely -> zero
+            # weight, matching dmcn_im2col_bilinear's per-corner validity
+            Ax = ((1.0 - fx)[..., None] * (cols == ixi[..., None])
+                  + fx[..., None] * (cols == ixi[..., None] + 1))
+            Ax = Ax.reshape(B, h, S, W).astype(cdt)
+            strips = strips_of(xrows)
+            A = (Ay.reshape(B, h, S, Dy)[..., :, None]
+                 * Ax[..., None, :]).reshape(B, h, S, Dy * W)
+            out = jnp.einsum("bhsk,bhkc->bhsc", A,
+                             strips.reshape(B, h, Dy * W, C),
+                             preferred_element_type=jnp.float32)
+            return out.astype(cdt)
+
+        # ---- windowed x: joint contraction per column chunk ------------
+        outs_c = []
+        for (w0, wcj) in col_chunks:
+            Dxw = (wcj - 1) * stride + Dx
+            Sj = wcj * K
+            csl = (slice(None), slice(None), slice(w0, w0 + wcj))
+            ix_j, fx_j = ixi[csl], fx[csl]
+            # true-corner validity (the slot clamp below could otherwise
+            # pull an out-of-image corner onto a valid slot)
+            vx0 = (ix_j >= 0) & (ix_j <= W - 1)
+            vx1 = (ix_j + 1 >= 0) & (ix_j + 1 <= W - 1)
+            u0 = jnp.clip(ix_j - (w0 * stride - leftx), 0, Dxw - 2)
+            xslots = jnp.arange(Dxw, dtype=jnp.int32)
+            Ax = (((1.0 - fx_j) * vx0)[..., None]
+                  * (xslots == u0[..., None])
+                  + (fx_j * vx1)[..., None] * (xslots == u0[..., None] + 1))
+            Ax = Ax.reshape(B, h, Sj, Dxw).astype(cdt)
+            xr = jax.lax.slice_in_dim(
+                xrows, w0 * stride, w0 * stride + Dxw, 1, axis=2)
+            strips = strips_of(xr)
+            A = (Ay[csl].reshape(B, h, Sj, Dy)[..., :, None]
+                 * Ax[..., None, :]).reshape(B, h, Sj, Dy * Dxw)
+            o = jnp.einsum("bhsk,bhkc->bhsc", A,
+                           strips.reshape(B, h, Dy * Dxw, C),
+                           preferred_element_type=jnp.float32)
+            outs_c.append(o.reshape(B, h, wcj, K, C))
+        out = jnp.concatenate(outs_c, axis=2).reshape(B, h, S, C)
         return out.astype(cdt)
 
     offr = offsets.reshape(B, Ho, Wo, K, 2)

@@ -307,6 +307,47 @@ def test_dcnv2_dense_exact_on_trained_scale_offsets():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_dcnv2_windowed_x_matches_gather_with_grads():
+    """Wide maps window the x axis too (x_window='auto' at W >= 2*Dxw):
+    within the documented +-((Dx-2)/2 - dil) = +-6 px contract, the
+    column-chunked dense path must reproduce the gather oracle in values
+    and all four gradients, for stride 1 AND 2 (chunk windows shift by
+    stride), including out-of-image corners near the borders."""
+    rng = np.random.RandomState(11)
+    for stride in (1, 2):
+        B, H, W, C, F = 2, 10, 80, 8, 6
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, C, F).astype(np.float32) * 0.1)
+        Ho = (H + 1) // stride if stride == 2 else H
+        Wo = (W + 1) // stride if stride == 2 else W
+        offsets = jnp.asarray(
+            (rng.rand(B, Ho, Wo, 18).astype(np.float32) - 0.5) * 11.0)
+        mask = jnp.asarray(rng.rand(B, Ho, Wo, 9).astype(np.float32))
+
+        def run(impl, x_window):
+            def loss(x, w, offsets, mask):
+                out = deform_conv2d_params(
+                    x, w, offsets, mask, stride=stride, dtype=jnp.float32,
+                    impl=impl, x_window=x_window)
+                return jnp.sum(out * jnp.cos(out)), out
+
+            (l, out), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                    x, w, offsets, mask)
+            return out, grads
+
+        # W=80 >= 2*((16-1)*stride+16): 'auto' must enable the x window
+        out_d, g_d = run("dense", "auto")
+        out_g, g_g = run("gather", None)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"stride={stride}")
+        for a, b, name in zip(g_d, g_g, ("x", "w", "offsets", "mask")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=f"stride={stride} grad {name}")
+
+
 def test_dcnv2_auto_routes_eval_to_exact_gather():
     """TPU.DCN_IMPL='auto': eval (deterministic=True) uses the gather path,
     exact for ANY offset; training uses the fast dense path (clamped at
