@@ -141,20 +141,26 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(Bn, N, 3, H, Dh), 3, axis=2)
-        q = q[:, :, 0].transpose(0, 2, 1, 3)  # (Bn, H, N, Dh)
+        # scale q BEFORE the matmul (reference: q = q * self.scale,
+        # swin_transformer.py:133) and keep the (N, N) logits in the
+        # compute dtype: under the reference's fp16 AMP the qk product,
+        # bias/mask adds and attn @ v all run in half precision with only
+        # the softmax autocast to fp32 — the profile showed the f32
+        # (Bn, H, 49, 49) tensors were ~2x HBM traffic for nothing.
+        q = q[:, :, 0].transpose(0, 2, 1, 3) * self.dtype(Dh ** -0.5)
         k = k[:, :, 0].transpose(0, 2, 1, 3)
         v = v[:, :, 0].transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn * (Dh ** -0.5) + bias[None].astype(jnp.float32)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)  # (Bn, H, N, N) cdt
+        attn = attn + bias[None].astype(attn.dtype)
         if mask is not None:
             nW = mask.shape[0]
-            attn = attn.reshape(Bn // nW, nW, H, N, N) + mask[None, :, None]
+            attn = (attn.reshape(Bn // nW, nW, H, N, N)
+                    + mask[None, :, None].astype(attn.dtype))
             attn = attn.reshape(Bn, H, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
