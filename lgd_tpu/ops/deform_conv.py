@@ -39,6 +39,14 @@ which case they are exactly zero. Offsets are zero-initialized and small
 in trained detectors; the deviation is documented in README, and
 TPU.DCN_IMPL='auto' routes eval to the exact gather path.
 
+``impl='pallas'`` — same math as 'dense', fused: a Pallas kernel builds the
+joint interpolation matrix A = Ay (x) Ax *in VMEM* per output row and
+contracts it against the in-VMEM input window, so neither A (the dominant
+HBM cost of the dense path: ~150 MB/layer at res4) nor the Dy-replicated
+row strips ever exist in HBM. Forward only; the backward is the dense
+path's exact VJP (recomputed, mirroring the ROIAlign staging) so gradients
+are bit-identical to ``impl='dense'``.
+
 ``impl='gather'`` — the original 4-corner gather path, kept as the parity
 oracle for the dense path and for very-large-offset exactness.
 
@@ -49,9 +57,13 @@ already sigmoid-activated by the caller.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _gather_bhwc(x_flat, idx, H, W, valid):
@@ -113,16 +125,19 @@ def deform_conv2d_params(
     base_y = jnp.asarray(np.broadcast_to(base_y, (Ho, Wo, K)), jnp.float32)
     base_x = jnp.asarray(np.broadcast_to(base_x, (Ho, Wo, K)), jnp.float32)
 
-    if impl == "dense":
+    if impl in ("dense", "pallas"):
         if x_window == "auto":
             x_window = (int(y_window)
                         if W >= 2 * ((x_chunk - 1) * stride + int(y_window))
                         else None)
-        sampled = _sample_dense(x, offsets, mask, base_x,
-                                stride=stride, pad=pad, Dy=int(y_window),
-                                kh=kh, dilation=dilation, Ho=Ho, Wo=Wo, K=K,
-                                Dx=None if x_window is None else int(x_window),
-                                wc=int(x_chunk))
+        kw_ = dict(stride=stride, pad=pad, Dy=int(y_window),
+                   kh=kh, dilation=dilation, Ho=Ho, Wo=Wo, K=K,
+                   Dx=None if x_window is None else int(x_window),
+                   wc=int(x_chunk))
+        if impl == "pallas":
+            sampled = _sample_pallas(x, offsets, mask, **kw_)
+        else:
+            sampled = _sample_dense(x, offsets, mask, base_x, **kw_)
     else:
         sampled = _sample_gather(x, offsets, mask, base_y, base_x,
                                  Ho=Ho, Wo=Wo, K=K, dtype=dtype)
@@ -343,3 +358,200 @@ def _sample_gather(x, offsets, mask, base_y, base_x, *, Ho, Wo, K, dtype):
         return sampled.reshape(B, Ho * Wo, K, C).astype(dtype)
 
     return bilinear_sample(x, offsets, mask)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas sampling (impl='pallas')
+# ---------------------------------------------------------------------------
+
+def _on_tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001 - no backend at all
+        return False
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _sample_pallas(x, offsets, mask, *, stride, pad, Dy, kh, dilation,
+                   Ho, Wo, K, Dx=None, wc=16):
+    """Same sampling math as ``_sample_dense`` (module docstring), fused:
+    per output row the kernel builds the joint (S, Dy*DxwP) interpolation
+    matrix A directly in VMEM (one broadcast-compare expression over a
+    static (d, u) lane index grid -- no 3D outer-product intermediate) and
+    contracts it against the (Dy*DxwP, C) input window sliced from the
+    whole per-image feature map, which is resident in VMEM for the entire
+    grid row. A and the Dy-replicated row strips of the dense path never
+    exist in HBM. Forward only; gradients come from the dense path's VJP
+    (``_pallas_sampler``), so they are identical to ``impl='dense'``.
+    """
+    B, H, W, C = x.shape
+    f = _pallas_sampler(B, H, W, C, jnp.dtype(x.dtype).name, stride, pad,
+                        Dy, kh, dilation, Ho, Wo, K,
+                        None if Dx is None else int(Dx), int(wc),
+                        mask is None, not _on_tpu_backend())
+    if mask is None:
+        mask = jnp.ones((offsets.shape[0], Ho, Wo, K), jnp.float32)
+    return f(x, offsets.reshape(B, Ho, Wo, K, 2), mask.reshape(B, Ho, Wo, K))
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_sampler(B, H, W, C, dtype_name, stride, pad, Dy, kh, dilation,
+                    Ho, Wo, K, Dx, wc, mask_was_none, interpret):
+    """Build (and cache per static geometry) the custom_vjp'd sampler."""
+    cdt = jnp.dtype(dtype_name)
+    lo = pad - (Dy - 2) // 2
+    top = -lo + pad
+    last = (Ho - 1) * stride + lo + Dy - 1 - pad
+    bot = max(0, last - (H - 1))
+
+    if Dx is None:                       # full-row window == whole width
+        wc_eff, Dxw, leftx = Wo, W, 0
+    else:
+        wc_eff, Dxw, leftx = wc, (wc - 1) * stride + Dx, (Dx - 2) // 2
+    sub = 16 if cdt == jnp.bfloat16 else 8
+    DxwP = _round_up(Dxw, sub)
+    L = Dy * DxwP
+    ncj = -(-Wo // wc_eff)
+    hk = min(8, Ho)
+    nrc = -(-Ho // hk)
+    Ho_p, Wo_p = nrc * hk, ncj * wc_eff
+    S = wc_eff * K
+    # zero cols so every chunk's DxwP-wide window stays in bounds
+    botx = max(0, (ncj - 1) * wc_eff * stride + DxwP - (W + leftx))
+    # zero rows so every (possibly Ho-padded) row window stays in bounds
+    Hp = max(top + H + bot, (Ho_p - 1) * stride + Dy)
+
+    def kernel(x_ref, offy_ref, offx_ref, m_ref, out_ref):
+        rc = pl.program_id(1)
+        j = pl.program_id(2)
+
+        # per-s tap/column indices, (S, 1) SUBLANE-oriented (s = wo*K + k).
+        # Mosaic cannot shape-cast lane->sublane, so everything per-s is
+        # built (or block-fed) in (S, 1) orientation from the start.
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        k_of_s = s_iota % K
+        ky_tap = ((k_of_s // kh) * dilation).astype(jnp.float32)
+        kx_tap = ((k_of_s % kh) * dilation).astype(jnp.float32)
+        wo = (j * wc_eff + s_iota // K).astype(jnp.float32)
+        win0 = (j * wc_eff * stride - leftx).astype(jnp.float32)
+
+        # static (S, L) lane-index decomposition l = d * DxwP + u
+        l_d = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1) // DxwP
+        l_u = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1) % DxwP
+
+        # static unroll over the hk rows (Mosaic has no dynamic_slice on
+        # VALUES; with r static everything below is static slicing except
+        # the x-window ref reads, which use pl.ds)
+        for r in range(hk):
+            offy = offy_ref[0, r].astype(jnp.float32)   # (S, 1)
+            offx = offx_ref[0, r].astype(jnp.float32)
+            mod = m_ref[0, r].astype(jnp.float32)
+
+            # ---- y axis: 2-hot over the Dy window slots -----------------
+            anchor = ((rc * hk + r) * stride - pad).astype(jnp.float32)
+            rel = jnp.clip(ky_tap + offy, lo - 2.0, lo + Dy + 1.0)
+            iy = jnp.floor(rel)
+            fy = rel - iy
+            abs_y0 = anchor + iy
+            v0 = ((abs_y0 >= 0) & (abs_y0 <= H - 1)).astype(jnp.float32)
+            v1 = ((abs_y0 + 1 >= 0) & (abs_y0 + 1 <= H - 1)).astype(
+                jnp.float32)
+            ay0 = (1.0 - fy) * v0 * mod             # weight at slot s0
+            ay1 = fy * v1 * mod                     # weight at slot s0 + 1
+            s0 = jnp.clip(iy - lo, 0, Dy - 2).astype(jnp.int32)
+
+            # ---- x axis: 2-hot over the window columns ------------------
+            px = jnp.clip(wo * stride - pad + kx_tap + offx, -2.0, W + 1.0)
+            ix = jnp.floor(px)
+            fx = px - ix
+            vx0 = ((ix >= 0) & (ix <= W - 1)).astype(jnp.float32)
+            vx1 = ((ix + 1 >= 0) & (ix + 1 <= W - 1)).astype(jnp.float32)
+            if Dx is None:
+                # full-row window is EXACT: out-of-range u0 matches no lane
+                # (the dense path's unclamped one-hot; validity covers the
+                # half-in corners)
+                u0 = (ix - win0).astype(jnp.int32)
+            else:
+                u0 = jnp.clip(ix - win0, 0, Dxw - 2).astype(jnp.int32)
+            ax0 = (1.0 - fx) * vx0
+            ax1 = fx * vx1
+
+            a_y = ay0 * (l_d == s0) + ay1 * (l_d == s0 + 1)
+            a_x = ax0 * (l_u == u0) + ax1 * (l_u == u0 + 1)
+            A = (a_y * a_x).astype(cdt)             # (S, L), VMEM only
+
+            row0 = (rc * hk + r) * stride
+            xwin = x_ref[0, pl.ds(row0, Dy), pl.ds(j * wc_eff * stride, DxwP)]
+            res = jnp.dot(A, xwin.reshape(L, C),
+                          preferred_element_type=jnp.float32)
+            out_ref[0, r] = res.astype(out_ref.dtype)
+
+    def vspec(block, imap):
+        return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+
+    def fwd(x, offr, maskr):
+        xpad = jnp.pad(x, ((0, 0), (top, Hp - top - H), (leftx, botx),
+                           (0, 0)))
+        offp = jnp.pad(offr, ((0, 0), (0, Ho_p - Ho), (0, Wo_p - Wo),
+                              (0, 0), (0, 0)))
+        maskp = jnp.pad(maskr, ((0, 0), (0, Ho_p - Ho), (0, Wo_p - Wo),
+                                (0, 0)))
+        # per-s quantities feed the kernel in (.., S, 1) SUBLANE orientation
+        # (see kernel comment); these reshapes run in XLA, outside pallas
+        def scol(a):
+            return a.reshape(B, Ho_p, ncj * S, 1)
+        sspec = vspec((1, hk, S, 1), lambda b, rc, j: (b, rc, j, 0))
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, nrc, ncj),
+            in_specs=[
+                vspec((1, Hp, W + leftx + botx, C),
+                      lambda b, rc, j: (b, 0, 0, 0)),
+                sspec, sspec, sspec,
+            ],
+            out_specs=vspec((1, hk, S, C), lambda b, rc, j: (b, rc, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Ho_p, ncj * S, C), cdt),
+            interpret=interpret,
+        )(xpad, scol(offp[..., 0]), scol(offp[..., 1]), scol(maskp))
+        out = out.reshape(B, Ho_p, Wo_p, K, C)[:, :Ho, :Wo]
+        return out.reshape(B, Ho * Wo, K, C)
+
+    # gradients: exact VJP of the dense formulation (same outputs), so
+    # 'pallas' and 'dense' train identically; only the forward is fused.
+    ox = np.arange(Wo) * stride - pad
+    kyg, kxg = np.meshgrid(np.arange(kh) * dilation,
+                           np.arange(kh) * dilation, indexing="ij")
+    # numpy on purpose: this factory is lru_cached, and a jnp constant
+    # created under the first caller's trace would leak that trace's tracer
+    # into later calls. _sample_dense broadcasts numpy at trace time.
+    base_x = np.broadcast_to(
+        (ox[None, :, None] + kxg.reshape(-1)[None, None, :]).astype(
+            np.float32), (Ho, Wo, K))
+
+    def dense_fn(x, offr, maskr):
+        return _sample_dense(
+            x, offr.reshape(B, Ho, Wo, 2 * K),
+            None if mask_was_none else maskr, base_x,
+            stride=stride, pad=pad, Dy=Dy, kh=kh, dilation=dilation,
+            Ho=Ho, Wo=Wo, K=K, Dx=Dx, wc=wc)
+
+    @jax.custom_vjp
+    def f(x, offr, maskr):
+        return fwd(x, offr, maskr)
+
+    def f_fwd(x, offr, maskr):
+        return fwd(x, offr, maskr), (x, offr, maskr)
+
+    def f_bwd(res, g):
+        x, offr, maskr = res
+        _, vjp = jax.vjp(dense_fn, x, offr, maskr)
+        dx, doff, dmask = vjp(g)
+        if mask_was_none:
+            dmask = jnp.zeros_like(maskr)
+        return dx, doff, dmask
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
