@@ -291,10 +291,21 @@ def main():
         ran (round-2 lesson: BENCH_r02.json was rc=124/parsed:null because
         the single JSON line was printed only at the very end)."""
         primary = table.get("lgd_retinanet_r50")
+        # A fallback row is a DIFFERENT configuration (batch 8, 512^2):
+        # emit it under its own metric name so round-over-round comparisons
+        # of the true primary can never silently conflate the two (a smaller
+        # canvas yields higher img/s). The true primary stays absent, with
+        # an explanatory error field.
+        metric = "lgd_retinanet_r50_train_imgs_per_sec_per_chip"
+        extra_fields = {}
         if primary is None and table.get("lgd_retinanet_r50_small"):
             primary = dict(table["lgd_retinanet_r50_small"])
-            primary["fallback"] = "batch-8 512^2 row (full-size primary "\
-                "did not finish in its slot)"
+            metric = ("lgd_retinanet_r50_small_bs8_512"
+                      "_train_imgs_per_sec_per_chip")
+            extra_fields["fallback_for"] = (
+                "lgd_retinanet_r50_train_imgs_per_sec_per_chip (full-size "
+                "primary did not finish in its slot; NOT comparable to it "
+                "— smaller canvas inflates img/s)")
         if primary is None:
             print(json.dumps({
                 "metric": "lgd_retinanet_r50_train_imgs_per_sec_per_chip",
@@ -304,10 +315,11 @@ def main():
             return
         img_s = primary["imgs_per_sec_per_chip"]
         print(json.dumps({
-            "metric": "lgd_retinanet_r50_train_imgs_per_sec_per_chip",
+            "metric": metric,
             "value": img_s,
             "unit": "images/sec/chip",
             "vs_baseline": round(img_s / BASELINE_IMG_PER_S_PER_GPU, 2),
+            **extra_fields,
             "detail": {
                 "device": device_kind,
                 "peak_bf16_tflops": round(peak / 1e12, 1),

@@ -120,17 +120,36 @@ def load_weights(path: str, state):
         raw = np.load(path)
         params = jax.device_get(state.params)
         frozen = jax.device_get(state.frozen)
-        n = 0
+        # The .npz format is a FULL variables dump (save_variables_npz):
+        # verify exact key coverage so a stale/mismatched file cannot
+        # silently leave tensors at random init (the reference's
+        # DetectionCheckpointer logs missing/unexpected keys; here a
+        # partial dump means --eval-only would report garbage mAP, so
+        # raise instead).
+        expected = set(f"params/{k}" for k in _flatten(params))
+        expected |= set(f"frozen/{k}" for k in _flatten(frozen or {}))
+        got = set(raw.files)
+        missing, unexpected = sorted(expected - got), sorted(got - expected)
+        if missing or unexpected:
+            raise ValueError(
+                f"{path} does not cover the model's variables: "
+                f"{len(missing)} missing (e.g. {missing[:5]}), "
+                f"{len(unexpected)} unexpected (e.g. {unexpected[:5]}). "
+                "A .npz MODEL.WEIGHTS file must be a full dump from "
+                "save_variables_npz for this config.")
         for key in raw.files:
             coll, *parts = key.split("/")
             node = {"params": params, "frozen": frozen}[coll]
             for p in parts[:-1]:
                 node = node[p]
             leaf = parts[-1]
-            assert tuple(node[leaf].shape) == tuple(raw[key].shape), key
+            if tuple(node[leaf].shape) != tuple(raw[key].shape):
+                raise ValueError(
+                    f"{path}: shape mismatch for {key}: checkpoint "
+                    f"{tuple(raw[key].shape)} vs model "
+                    f"{tuple(node[leaf].shape)}")
             node[leaf] = raw[key].astype(np.asarray(node[leaf]).dtype)
-            n += 1
-        logger.info("Loaded %d tensors from %s", n, path)
+        logger.info("Loaded %d tensors from %s", len(raw.files), path)
         import jax.numpy as jnp
 
         return state.replace(

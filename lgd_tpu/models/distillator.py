@@ -108,7 +108,7 @@ class BaseDistillator(nn.Module):
         forward_teacher, distillator.py:88,107).
 
         Measured on the v5e chip (flagship, batch 16, 640^2): a single
-        batch-stacked 2B pass compiles ~11%% faster but runs 4%% SLOWER
+        batch-stacked 2B pass compiles ~11% faster but runs 4% SLOWER
         (160.2 vs 154.1 ms/step) — the 5 per-level concats are pure HBM
         copies that outweigh the dispatch savings — so the two passes are
         kept separate."""
@@ -159,7 +159,8 @@ class DistillatorRetinaNet(BaseDistillator):
         anchors, _ = build_anchors(cfg, padded_hw)
 
         # student fwd; dynamic teacher from GT + student FPN feats; then the
-        # student's own head scores BOTH pyramids in one stacked pass
+        # student's own head scores BOTH pyramids via _predict_pair (two
+        # separate passes; see its docstring for why stacking lost)
         raw, feats = self.student(images, image_sizes, train=True)
         tea_feats, _, _ = self.teacher(gt, feats, padded_hw)
         (logits, deltas), (logits_tea, deltas_tea) = self._predict_pair(

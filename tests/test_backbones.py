@@ -380,3 +380,65 @@ def test_dcnv2_auto_routes_eval_to_exact_gather():
                                rtol=1e-5, atol=1e-5)
     assert not np.allclose(np.asarray(out_train), np.asarray(out_eval),
                            atol=1e-3), "dense should clamp a 10 px dy"
+
+
+def test_dcn_pallas_impl_matches_dense():
+    """impl='pallas' (fused VMEM interpolation; interpret mode on CPU) must
+    reproduce impl='dense' in values AND all four gradients (the backward
+    is dense's VJP by construction, but the primal feeds it), for stride 1
+    and 2, on a wide map so the x window ('auto') activates and on a
+    narrow map where it does not."""
+    rng = np.random.RandomState(13)
+    for stride, W in ((1, 80), (2, 80), (1, 12)):
+        B, H, C, F = 2, 10, 8, 6
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, C, F).astype(np.float32) * 0.1)
+        Ho = (H + 1) // stride if stride == 2 else H
+        Wo = (W + 1) // stride if stride == 2 else W
+        offsets = jnp.asarray(
+            (rng.rand(B, Ho, Wo, 18).astype(np.float32) - 0.5) * 11.0)
+        mask = jnp.asarray(rng.rand(B, Ho, Wo, 9).astype(np.float32))
+
+        def run(impl):
+            def loss(x, w, offsets, mask):
+                out = deform_conv2d_params(
+                    x, w, offsets, mask, stride=stride, dtype=jnp.float32,
+                    impl=impl, x_window="auto")
+                return jnp.sum(out * jnp.cos(out)), out
+
+            (_, out), grads = jax.value_and_grad(
+                loss, argnums=(0, 1, 2, 3), has_aux=True)(
+                    x, w, offsets, mask)
+            return out, grads
+
+        out_p, g_p = run("pallas")
+        out_d, g_d = run("dense")
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_d), rtol=1e-5, atol=1e-5,
+            err_msg=f"stride={stride} W={W}")
+        for a, b, name in zip(g_p, g_d, ("x", "w", "offsets", "mask")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"stride={stride} W={W} grad {name}")
+
+
+def test_swin_attention_bf16_close_to_f32():
+    """Documented deviation (README 'Status / deviations'): window-attention
+    qk logits / bias / mask adds run in bf16 with an f32 softmax (the
+    reference uses fp16 AMP). On unit-scale inputs the bf16 path must stay
+    within atol 2e-2 of the all-f32 path."""
+    from lgd_tpu.models.backbones.swin import WindowAttention, _shift_attn_mask
+
+    rng = jax.random.PRNGKey(3)
+    Bn, ws, C, H = 8, 7, 96, 3
+    x = jax.random.normal(rng, (Bn, ws * ws, C), jnp.float32)
+    mask = jnp.asarray(_shift_attn_mask(14, 14, ws, ws // 2))  # (4, N, N)
+    attn_bf = WindowAttention(dim=C, num_heads=H, window_size=ws,
+                              dtype=jnp.bfloat16)
+    attn_f32 = WindowAttention(dim=C, num_heads=H, window_size=ws,
+                               dtype=jnp.float32)
+    variables = attn_f32.init(jax.random.PRNGKey(4), x, mask)
+    out_f = attn_f32.apply(variables, x, mask)
+    out_b = attn_bf.apply(variables, x, mask)
+    np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                               np.asarray(out_f), atol=2e-2)
