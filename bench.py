@@ -403,30 +403,53 @@ def main():
 
 def _write_bench_table(table, errors, device_kind, peak):
     """Persist every completed row to BENCH_TABLE.md so the perf record
-    survives independently of the driver's JSON capture."""
+    survives independently of the driver's JSON capture.
+
+    MERGE-on-write: rows are accumulated in BENCH_ROWS.json (with the date
+    each row last ran) and the markdown is regenerated from the union — a
+    driver run whose budget only fits the first few rows can no longer
+    clobber the slower rows recorded by an earlier full run (round-4
+    lesson: the driver's 3-row window rewrote the committed 8-row table)."""
     try:
+        import datetime
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        jpath = os.path.join(root, "BENCH_ROWS.json")
+        rows = {}
+        if os.path.exists(jpath):
+            try:
+                with open(jpath) as f:
+                    rows = json.load(f)
+            except ValueError:
+                rows = {}
+        today = datetime.date.today().isoformat()
+        for name, row in table.items():
+            rows[name] = dict(row, recorded=today)
+        with open(jpath, "w") as f:
+            json.dump(rows, f, indent=1, sort_keys=True)
+
         lines = [
-            "# Bench table (auto-written by bench.py)", "",
+            "# Bench table (auto-written by bench.py; rows merged across"
+            " runs via BENCH_ROWS.json)", "",
             f"Device: {device_kind} (peak bf16 {peak / 1e12:.0f} TFLOP/s); "
             f"canvas {CANVAS}x{CANVAS}; synthetic batches, 32 instances.", "",
             "| row | img/s/chip | step ms | batch | canvas | TFLOPs/step"
-            " | MFU |",
-            "|---|---|---|---|---|---|---|",
+            " | MFU | recorded |",
+            "|---|---|---|---|---|---|---|---|",
         ]
-        for name, row in sorted(table.items()):
+        for name, row in sorted(rows.items()):
             lines.append(
-                "| {} | {} | {} | {} | {} | {} | {} |".format(
+                "| {} | {} | {} | {} | {} | {} | {} | {} |".format(
                     name, row.get("imgs_per_sec_per_chip", "-"),
                     row.get("step_ms", "-"), row.get("batch_size", "-"),
                     row.get("canvas", CANVAS),
                     row.get("tflops_per_step", "-"),
-                    ("{:.1%}".format(row["mfu"]) if "mfu" in row else "-")))
+                    ("{:.1%}".format(row["mfu"]) if "mfu" in row else "-"),
+                    row.get("recorded", "-")))
         if errors:
-            lines += ["", "Errors:", ""]
+            lines += ["", "Errors (this run):", ""]
             lines += [f"- `{k}`: {v}" for k, v in sorted(errors.items())]
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_TABLE.md")
-        with open(path, "w") as f:
+        with open(os.path.join(root, "BENCH_TABLE.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
     except Exception as e:  # noqa: BLE001 - never let reporting kill bench
         print(f"bench: BENCH_TABLE.md write failed: {e}", file=sys.stderr,
