@@ -190,6 +190,11 @@ ROWS = {
         f"{REF}/RetinaNet/retinanet_Swin_Tiny*.yaml", (), (8, 4)),
     "lgd_retinanet_r50_eval": (f"{REF}/RetinaNet/retinanet_R_50*.yaml", (),
                                (8,)),
+    # the reference's Mask R-CNN headline (README.md:48: Swin-T 3xMS,
+    # box 46.4 / mask 42.5); MASK_ON routes synthetic GT bitmasks in.
+    "lgd_mask_rcnn_swin_t": (f"{REF}/MaskRCNN/mask_rcnn_Swin*.yaml",
+                             ("MODEL.RPN.POST_NMS_TOPK_TRAIN", "512"),
+                             (8, 4)),
     "lgd_poto_r50_hungarian": (
         f"{REF}/FCOS/fcos_R_50*.yaml",
         ("MODEL.META_ARCHITECTURE", "DistillatorPOTO",
@@ -218,7 +223,8 @@ def _run_row(name):
         try:
             _release_device_memory()
             cfg = _ref_cfg(pattern, extra)
-            dt, flops = _bench_train(cfg, batch_size, canvas)
+            dt, flops = _bench_train(cfg, batch_size, canvas,
+                                     with_masks=bool(cfg.MODEL.MASK_ON))
             row = {
                 "imgs_per_sec_per_chip": round(batch_size / dt, 2),
                 "step_ms": round(dt * 1000, 1),
@@ -391,6 +397,7 @@ def main():
         (["lgd_retinanet_r101_dcnv2"], 1200),
         (["lgd_fcos_r50", "lgd_retinanet_r50_eval"], 900),
         (["lgd_retinanet_swin_t"], 900),
+        (["lgd_mask_rcnn_swin_t"], 1200),
         (["lgd_poto_r50_hungarian"], 1200),
         (["lgd_poto_r50_greedy"], 1200),
     ):

@@ -411,6 +411,13 @@ def _pallas_sampler(B, H, W, C, dtype_name, stride, pad, Dy, kh, dilation,
         wc_eff, Dxw, leftx = Wo, W, 0
     else:
         wc_eff, Dxw, leftx = wc, (wc - 1) * stride + Dx, (Dx - 2) // 2
+        if (wc_eff * stride) % 8 != 0:
+            raise ValueError(
+                "impl='pallas' needs x_chunk*stride to be a multiple of 8 "
+                f"(got {wc_eff}*{stride}): the per-chunk column start "
+                "j*x_chunk*stride must be provably sublane-aligned for "
+                "Mosaic's vector load. Use the default x_chunk=16 or a "
+                "multiple of 8/stride.")
     sub = 16 if cdt == jnp.bfloat16 else 8
     DxwP = _round_up(Dxw, sub)
     L = Dy * DxwP
@@ -484,7 +491,15 @@ def _pallas_sampler(B, H, W, C, dtype_name, stride, pad, Dy, kh, dilation,
             A = (a_y * a_x).astype(cdt)             # (S, L), VMEM only
 
             row0 = (rc * hk + r) * stride
-            xwin = x_ref[0, pl.ds(row0, Dy), pl.ds(j * wc_eff * stride, DxwP)]
+            # Column start must be PROVABLY sublane-aligned for Mosaic's
+            # vector load (multiple of 8; the row axis is untiled and free).
+            # Full-row case: ncj == 1, the block IS the whole padded row
+            # (width == DxwP) -> static start 0 (a dynamic j*Wo*stride here
+            # failed Mosaic whenever Wo*stride wasn't a multiple of 8, e.g.
+            # res5 W=20). Windowed case: wc_eff*stride is checked to be a
+            # multiple of 8 in the factory, so j*(wc_eff*stride) factors.
+            xstart = 0 if Dx is None else j * (wc_eff * stride)
+            xwin = x_ref[0, pl.ds(row0, Dy), pl.ds(xstart, DxwP)]
             res = jnp.dot(A, xwin.reshape(L, C),
                           preferred_element_type=jnp.float32)
             out_ref[0, r] = res.astype(out_ref.dtype)
