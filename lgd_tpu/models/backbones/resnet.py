@@ -159,12 +159,20 @@ class ResNet(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         # `deterministic` (the train flag, threaded by the CT students):
         # ResNet has no stochastic layers, but DCN_IMPL='auto' routes the
-        # deformable conv to the fast dense path in training and the
-        # exact-for-any-offset gather path at eval (the dense path clamps
-        # |dy| > 6 feature px — ops/deform_conv.py:22-29).
+        # deformable conv to the fast fused path in training and the
+        # exact-for-any-offset gather path at eval (the dense/pallas paths
+        # clamp |dy| > 6 feature px — ops/deform_conv.py:22-29). On a TPU
+        # backend training uses the Pallas fused forward (gradients are the
+        # dense path's exact VJP; measured 250.7 vs 272.1 ms/step on the
+        # R-101-DCNv2 row); elsewhere (CPU tests) the dense matmul path.
         dcn_impl = self.dcn_impl
         if dcn_impl == "auto":
-            dcn_impl = "gather" if deterministic else "dense"
+            if deterministic:
+                dcn_impl = "gather"
+            else:
+                from ...ops.deform_conv import _on_tpu_backend
+
+                dcn_impl = "pallas" if _on_tpu_backend() else "dense"
         x = x.astype(self.dtype)
         # stem
         x = nn.Conv(self.stem_out_channels, (7, 7), strides=(2, 2),

@@ -66,6 +66,10 @@ def summarize_perfetto(path: str, n_steps: int):
             continue
         dur = float(e.get("dur", 0.0))  # microseconds
         name = e.get("name", "?")
+        # module-level annotation rows (jit_<fn>(fingerprint)) span the whole
+        # step on their own thread and would double-count every op under them
+        if "(" in name and name.startswith(("jit_", "pjit_")):
+            continue
         buckets[_bucket(name)] += dur
         per_op[name] += dur
         total += dur
@@ -111,12 +115,13 @@ def main():
     cfg = _ref_cfg(pattern, extra)
 
     model = build_model(cfg, dtype=jnp.bfloat16)
+    wm = bool(cfg.MODEL.MASK_ON)
     batch = make_synthetic_batch(batch_size=batch_size,
                                  canvas_hw=(canvas, canvas),
-                                 max_instances=32, seed=0)
+                                 max_instances=32, seed=0, with_masks=wm)
     init_state, train_step = make_train_step(cfg, model)
     tiny = make_synthetic_batch(batch_size=1, canvas_hw=(128, 128),
-                                max_instances=32, seed=0)
+                                max_instances=32, seed=0, with_masks=wm)
     state = jax.jit(init_state)(jax.random.PRNGKey(0), tiny)
     jstep = jax.jit(train_step)
     t0 = time.time()
