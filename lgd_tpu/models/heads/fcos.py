@@ -333,7 +333,11 @@ def fcos_inference(cfg, pred_logits, pred_deltas, pred_ctr, shifts,
         top_s, idx = jax.lax.top_k(jnp.where(valid, scores, -1.0), pre_nms)
         boxes, scores, classes = boxes[idx], top_s, classes[idx]
         valid = top_s > 0
-        keep = batched_nms_mask(boxes, scores, classes, valid, nms_thresh)
+        # post-top-k inference pools are shallow suppression DAGs: the
+        # adaptive fixpoint beats the fixed-cost Pallas sweep reserved
+        # for RPN training pools (ops/nms.py)
+        keep = batched_nms_mask(boxes, scores, classes, valid,
+                                nms_thresh, impl="fixpoint")
         return topk_detections(boxes, scores, classes, keep, max_dets)
 
     b, s, c, v = jax.vmap(per_image)(boxes, scores, classes, valid,

@@ -337,7 +337,9 @@ def fast_rcnn_inference(cfg, scores, deltas, proposals, prop_valid,
         top_s, idx = jax.lax.top_k(jnp.where(valid, flat_scores, -1.0), k)
         b, c = flat_boxes[idx], flat_cls[idx]
         v = top_s > 0
-        keep = batched_nms_mask(b, top_s, c, v, nms_thresh)
+        # shallow inference pool -> adaptive fixpoint (ops/nms.py)
+        keep = batched_nms_mask(b, top_s, c, v, nms_thresh,
+                                impl="fixpoint")
         return topk_detections(b, top_s, c, keep, max_dets)
 
     b, s, c, v = jax.vmap(

@@ -18,12 +18,93 @@ equality test only passes at a true fixpoint, so early exit is sound.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..structures import boxes as box_ops
 
 NEG_INF = -1e10
+
+
+def _on_tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001 - no backend at all
+        return False
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _sweep_kernel(Np: int, interpret: bool):
+    """O(N) greedy sweep with the suppressor matrix resident in VMEM.
+
+    The fixpoint-matvec loop re-reads the (N, N) suppressor from HBM every
+    iteration and converges in DAG-depth iterations — profiled at 17-19 ms
+    per call in the R-CNN train step on dense RPN box soups (hundreds of
+    levels). Here the classic sequential greedy sweep runs entirely in
+    VMEM: row i of ``sup`` suppresses later rows iff row i is kept, so one
+    pass over rows (16-row blocks, static-unrolled inner loop) produces the
+    exact same keep set with zero per-iteration HBM traffic.
+
+    Kernel signature (unbatched; jax.vmap adds the batch grid dimension):
+    sup (Np, Np) bf16 upper-triangular, valid (1, Np) f32 -> keep (1, Np) f32.
+    """
+
+    def kernel(sup_ref, valid_ref, keep_ref):
+        valid = valid_ref[0:1, :]                     # (1, Np) f32
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+
+        def block(g, suppressed):
+            rows = sup_ref[pl.ds(g * 16, 16), :].astype(jnp.float32)
+            for r in range(16):
+                i = g * 16 + r
+                onehot = (lane == i).astype(jnp.float32)
+                # invalid rows start suppressed (see init), so one
+                # reduction decides keep: kept iff not yet suppressed
+                s_i = jnp.sum(suppressed * onehot)
+                k_i = jnp.where(s_i < 0.5, 1.0, 0.0)
+                suppressed = jnp.maximum(suppressed, k_i * rows[r:r + 1, :])
+            return suppressed
+
+        # fold validity into the initial state: invalid rows are born
+        # suppressed — they never suppress anyone and end up not kept
+        suppressed = jax.lax.fori_loop(
+            0, Np // 16, block, 1.0 - valid)
+        keep_ref[0:1, :] = (suppressed < 0.5).astype(jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _greedy_keep(sup, valid_s, n_bound: int, impl: str = "auto"):
+    """Greedy keep set for a score-sorted upper-triangular suppressor.
+
+    impl: 'auto' (Pallas sweep on TPU, fixpoint matvec elsewhere),
+    'pallas' (force, interpret off-TPU — for parity tests), 'fixpoint'.
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu_backend() else "fixpoint"
+    if impl == "fixpoint":
+        return _fixpoint_keep(sup, valid_s, n_bound)
+    n = sup.shape[-1]
+    Np = max(_round_up(n, 128), 128)
+    sup_p = jnp.pad(sup.astype(jnp.bfloat16), ((0, Np - n), (0, Np - n)))
+    valid_p = jnp.pad(valid_s.astype(jnp.float32), (0, Np - n)).reshape(1, Np)
+    keep = _sweep_kernel(Np, not _on_tpu_backend())(sup_p, valid_p)
+    return keep[0, :n] > 0.5
 
 
 def _fixpoint_keep(sup, valid_s, n_bound: int):
@@ -45,7 +126,8 @@ def _fixpoint_keep(sup, valid_s, n_bound: int):
     return keep_s
 
 
-def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 2048):
+def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 2048,
+             impl: str = "auto"):
     """Exact greedy NMS.
 
     Args:
@@ -78,7 +160,7 @@ def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 2048):
         # unless all are 0.
         sup = ((iou > iou_threshold)
                & (idx[:, None] < idx[None, :])).astype(jnp.bfloat16)
-        keep_s = _fixpoint_keep(sup, valid_s, n)
+        keep_s = _greedy_keep(sup, valid_s, n, impl)
     else:
         n_tiles = -(-n // tile)
         pad = n_tiles * tile - n
@@ -99,7 +181,7 @@ def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 2048):
                       & (t_idx[:, None] < t_idx[None, :])).astype(
                           jnp.bfloat16)
             tv = jax.lax.dynamic_slice(valid_p, (start,), (tile,)) & ~ext
-            keep_t = _fixpoint_keep(sup_tt, tv, tile)
+            keep_t = _greedy_keep(sup_tt, tv, tile, impl)
             return jax.lax.dynamic_update_slice(keep, keep_t, (start,))
 
         keep_s = jax.lax.fori_loop(
@@ -110,13 +192,14 @@ def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 2048):
     return keep
 
 
-def batched_nms_mask(boxes, scores, classes, valid, iou_threshold: float):
+def batched_nms_mask(boxes, scores, classes, valid, iou_threshold: float,
+                     impl: str = "auto"):
     """Class-aware NMS via the coordinate-offset trick (detectron2
     ``batched_nms`` / cvpods ``generalized_batched_nms`` nms_type='normal')."""
     max_coord = jnp.max(jnp.where(valid[..., None], boxes, 0.0)) + 1.0
     offsets = classes.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[..., None]
-    return nms_mask(shifted, scores, valid, iou_threshold)
+    return nms_mask(shifted, scores, valid, iou_threshold, impl=impl)
 
 
 def topk_detections(boxes, scores, classes, keep, k: int):

@@ -125,6 +125,7 @@ def multilevel_roi_align(
     impl: str = "dense",
     patch_size: int = 32,
     unroll: bool = False,
+    chunk_remat: bool = True,
 ) -> jax.Array:
     """features: per-level (B, Hi, Wi, C) list; boxes: (B, P, 4) in input
     coords; box_valid: (B, P). Returns (B, P, out, out, C).
@@ -173,12 +174,17 @@ def multilevel_roi_align(
         valid_c = box_valid.reshape(B, nc, roi_chunk).transpose(1, 0, 2)
         # jax.checkpoint: lax.map's backward otherwise stacks every chunk's
         # einsum/gather residuals; recomputing the cheap pooling forward
-        # keeps only the chunk inputs live
-        body = jax.checkpoint(
-            lambda args: multilevel_roi_align(
-                features, args[0], args[1], strides, output_size,
-                min_level, aligned, sampling_ratio, s_max, roi_chunk=0,
-                impl=impl, patch_size=patch_size))
+        # keeps only the chunk inputs live. chunk_remat=False drops the
+        # wrapper for jax.linear_transpose callers (the Pallas VJP): a
+        # linear function's transpose has no residuals to save, and
+        # linear_transpose over checkpoint(map(...)) trips a JAX internals
+        # limitation (cotangents arrive as ad.ValAccum accumulators).
+        body = (lambda args: multilevel_roi_align(
+            features, args[0], args[1], strides, output_size,
+            min_level, aligned, sampling_ratio, s_max, roi_chunk=0,
+            impl=impl, patch_size=patch_size))
+        if chunk_remat:
+            body = jax.checkpoint(body)
         if unroll:
             # static chunk slices; XLA schedules/overlaps chunk chains
             # instead of a serial while loop of dynamic slices
@@ -467,9 +473,16 @@ def _roi_pallas_vjp_bwd(strides, output_size, min_level, aligned,
     structs, boxes, box_valid = res
 
     def lin(feats):
+        # unroll + no remat: jax.linear_transpose over lax.map (and over
+        # checkpoint-of-map) trips a JAX internals limitation in this
+        # version (cotangents arrive as ad.ValAccum accumulators), and a
+        # linear transpose has no residuals for checkpoint to save anyway.
+        # Static chunk slices also let XLA overlap the transposed chunk
+        # chains instead of a serial while loop.
         return multilevel_roi_align(
             list(feats), boxes, box_valid, strides, output_size, min_level,
-            aligned, sampling_ratio, s_max, roi_chunk=64, impl="dense")
+            aligned, sampling_ratio, s_max, roi_chunk=64, impl="dense",
+            unroll=True, chunk_remat=False)
 
     dfeats = jax.linear_transpose(lin, structs)(g)[0]
     dvalid = np.zeros(box_valid.shape, jax.dtypes.float0)

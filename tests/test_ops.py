@@ -253,3 +253,45 @@ def test_nms_iou_exactly_at_threshold_not_suppressed():
     np.testing.assert_array_equal(keep, [True, True])
     keep2 = np.asarray(nms_mask(boxes, scores, valid, thr - 1e-6))
     np.testing.assert_array_equal(keep2, [True, False])
+
+
+def test_nms_pallas_sweep_matches_fixpoint():
+    """The Pallas O(N) greedy sweep (impl='pallas', interpret mode on CPU)
+    must return the exact fixpoint/greedy keep mask, including adversarial
+    duplicate scores, duplicate boxes, invalid tails, non-aligned N, and
+    the vmapped per-image RPN usage (ops/nms.py::_sweep_kernel)."""
+    from lgd_tpu.ops.nms import batched_nms_mask, nms_mask
+
+    rng = np.random.RandomState(7)
+    for n, nvalid in ((100, 80), (513, 513), (640, 600)):
+        ctr = rng.rand(n, 2) * 64
+        wh = rng.rand(n, 2) * 30 + 2
+        boxes = np.concatenate(
+            [ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        scores[10:20] = scores[5]          # duplicate-score group
+        boxes[30:35] = boxes[29]           # exact duplicate boxes
+        valid = np.arange(n) < nvalid
+        kf = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                 jnp.asarray(valid), 0.7, impl="fixpoint"))
+        kp = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                 jnp.asarray(valid), 0.7, impl="pallas"))
+        np.testing.assert_array_equal(kf, kp)
+        assert kp.sum() > 0
+
+    B, n = 3, 256
+    boxes = rng.rand(B, n, 4).astype(np.float32) * 64
+    boxes[..., 2:] = (boxes[..., :2]
+                      + rng.rand(B, n, 2).astype(np.float32) * 20 + 1)
+    scores = rng.rand(B, n).astype(np.float32)
+    lvls = rng.randint(0, 5, (B, n)).astype(np.int32)
+    valid = np.ones((B, n), bool)
+    kf = np.asarray(jax.vmap(
+        lambda b, s, c, v: batched_nms_mask(b, s, c, v, 0.7,
+                                            impl="fixpoint"))(
+        boxes, scores, lvls, valid))
+    kp = np.asarray(jax.vmap(
+        lambda b, s, c, v: batched_nms_mask(b, s, c, v, 0.7,
+                                            impl="pallas"))(
+        boxes, scores, lvls, valid))
+    np.testing.assert_array_equal(kf, kp)

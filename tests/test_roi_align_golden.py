@@ -229,3 +229,38 @@ def test_pallas_impl_matches_dense_fpn():
     for gd, gp in zip(g_d, g_p):
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gp),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_impl_grad_through_chunked_path():
+    """Regression (round 5): impl='pallas' training grads with P > roi_chunk
+    failed to trace — its VJP linear-transposes the dense path, and
+    jax.linear_transpose over the chunked checkpoint(lax.map(...)) trips a
+    JAX internals limitation (cotangents arrive as ad.ValAccum). The VJP now
+    transposes the unrolled, remat-free dense formulation. Exercises the
+    exact failing context: jitted value_and_grad with 130 ROIs (3 chunks)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    strides = (8, 16, 32)
+    feats = tuple(jnp.asarray(rng.randn(2, 64 // (s // 8), 64 // (s // 8), 8)
+                              .astype(np.float32)) for s in strides)
+    P = 130
+    boxes = rng.rand(2, P, 4).astype(np.float32) * 300
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(2, P, 2) * 200 + 4
+    boxes = jnp.asarray(boxes)
+    valid = jnp.asarray(rng.rand(2, P) > 0.1)
+
+    def loss(fs, impl):
+        o = multilevel_roi_align(list(fs), boxes, valid, strides, 7,
+                                 min_level=3, impl=impl)
+        return jnp.sum(jnp.sin(o) * o)
+
+    (vp, gp) = jax.jit(jax.value_and_grad(
+        lambda fs: loss(fs, "pallas")))(feats)
+    (vd, gd) = jax.jit(jax.value_and_grad(
+        lambda fs: loss(fs, "dense")))(feats)
+    np.testing.assert_allclose(float(vp), float(vd), rtol=1e-5)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
