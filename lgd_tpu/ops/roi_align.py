@@ -351,50 +351,61 @@ def _window_size(hw) -> int:
     return (need + 7) // 8 * 8
 
 
-def _roi_window_matrices(geo, hw_pad, Gp, out, S, box_valid):
-    """Fold bilinear + adaptive-slot weights into one (out^2, Gp^2)
+def _roi_window_matrices(geo, hw_pad, Gpy, Gpx, out, S, box_valid):
+    """Fold bilinear + adaptive-slot weights into one (out^2, Gpy*Gpx)
     window-relative interpolation matrix per ROI. Returns (W (B*P, out^2,
-    Gp^2), oy (B, P), ox (B, P)) with origins clamped so the window stays
-    inside the (padded) level; referenced texels always lie inside the
-    window for routed ROIs (clamping only relocates zero-weight slots)."""
+    Gpy*Gpx), oy (B, P), ox (B, P)) with origins clamped so the window
+    stays inside the (padded) level; referenced texels always lie inside
+    the window for routed ROIs (clamping only relocates zero-weight
+    slots). The x origin is additionally rounded DOWN to a multiple of 8:
+    Mosaic requires the dynamic HBM-slice offset on the second-minor
+    (sublane-tiled) axis to be 8-aligned, and the x window is 8 wider than
+    the y window (Gpx = Gpy + 8) so alignment never loses coverage."""
     levels, Hl, Wl, ygeo, xgeo = geo
     y0i, wy0, y1i, wy1 = ygeo
     x0i, wx0, x1i, wx1 = xgeo
     hp_tab = jnp.asarray([h for h, w in hw_pad], jnp.int32)
     wp_tab = jnp.asarray([w for h, w in hw_pad], jnp.int32)
-    oy = jnp.clip(y0i[..., 0], 0, hp_tab[levels] - Gp)
-    ox = jnp.clip(x0i[..., 0], 0, wp_tab[levels] - Gp)
+    oy = jnp.clip(y0i[..., 0], 0, hp_tab[levels] - Gpy)
+    # clamp against the coverage bound first (window [ox, ox+Gpy) covers
+    # every routed texel), THEN align; [ox_a, ox_a+Gpx) still covers and
+    # stays inside the padded level (wp is padded past Wl by >= 8)
+    ox = jnp.clip(x0i[..., 0], 0, wp_tab[levels] - Gpx)
+    ox = (ox // 8) * 8
 
-    def mat(c0i, w0, c1i, w1, origin):
-        r0 = jnp.clip(c0i - origin[..., None], 0, Gp - 1)
-        r1 = jnp.clip(c1i - origin[..., None], 0, Gp - 1)
-        grid = jnp.arange(Gp, dtype=jnp.int32)
+    def mat(c0i, w0, c1i, w1, origin, G):
+        r0 = jnp.clip(c0i - origin[..., None], 0, G - 1)
+        r1 = jnp.clip(c1i - origin[..., None], 0, G - 1)
+        grid = jnp.arange(G, dtype=jnp.int32)
         a = (w0[..., None] * (grid == r0[..., None])
              + w1[..., None] * (grid == r1[..., None]))
-        return a.reshape(*a.shape[:2], out, S, Gp).sum(3)  # (B, P, out, Gp)
+        return a.reshape(*a.shape[:2], out, S, G).sum(3)  # (B, P, out, G)
 
-    ay = mat(y0i, wy0, y1i, wy1, oy) * box_valid[..., None, None]
-    ax = mat(x0i, wx0, x1i, wx1, ox)
+    ay = mat(y0i, wy0, y1i, wy1, oy, Gpy) * box_valid[..., None, None]
+    ax = mat(x0i, wx0, x1i, wx1, ox, Gpx)
     w = jnp.einsum("bpiy,bpjx->bpijyx", ay, ax)
     B, P = levels.shape
-    return w.reshape(B * P, out * out, Gp * Gp), oy, ox
+    return w.reshape(B * P, out * out, Gpy * Gpx), oy, ox
 
 
-def _roi_fwd_kernel(lev_ref, b_ref, oy_ref, ox_ref, *refs, L, Gp, C):
+def _roi_fwd_kernel(lev_ref, b_ref, oy_ref, ox_ref, *refs, L, Gpy, Gpx, C):
     feat_refs = refs[:L]
     w_ref, out_ref, patch, sem = refs[L], refs[L + 1], refs[L + 2], refs[L + 3]
     i = pl.program_id(0)
     lv, b = lev_ref[i], b_ref[i]
-    oy, ox = oy_ref[i], ox_ref[i]
+    # ox_ref carries ox // 8: multiplying by 8 IN-KERNEL lets Mosaic prove
+    # the sublane-tiled dim-2 slice offset is 8-aligned (a bare prefetched
+    # scalar has unknown divisibility and fails to compile)
+    oy, ox = oy_ref[i], ox_ref[i] * 8
     for li in range(L):
         @pl.when(lv == li)
         def _(li=li):
             dma = pltpu.make_async_copy(
-                feat_refs[li].at[b, pl.ds(oy, Gp), pl.ds(ox, Gp), :],
+                feat_refs[li].at[b, pl.ds(oy, Gpy), pl.ds(ox, Gpx), :],
                 patch, sem)
             dma.start()
             dma.wait()
-    p = patch[...].reshape(Gp * Gp, C)
+    p = patch[...].reshape(Gpy * Gpx, C)
     out_ref[0] = jax.lax.dot_general(
         w_ref[0], p, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
@@ -407,12 +418,15 @@ def _roi_pallas_fwd(features, boxes, box_valid, strides, out, min_level,
     L = len(features)
     hw = [(f.shape[1], f.shape[2]) for f in features]
     S = sampling_ratio if sampling_ratio > 0 else s_max
-    Gp = _window_size(hw)
+    Gpy = _window_size(hw)
+    # x window: origin is 8-aligned for Mosaic's sublane-tiled dynamic HBM
+    # slice, so it is 8 wider than the coverage bound (_roi_window_matrices)
+    Gpx = Gpy + 8
 
     geo = _roi_sample_geometry(boxes, box_valid, strides, hw, out, min_level,
                                aligned, sampling_ratio, S)
-    hw_pad = [(max(h, Gp), max(w, Gp)) for h, w in hw]
-    w, oy, ox = _roi_window_matrices(geo, hw_pad, Gp, out, S, box_valid)
+    hw_pad = [(max(h, Gpy), -(-max(w, Gpx) // 8) * 8) for h, w in hw]
+    w, oy, ox = _roi_window_matrices(geo, hw_pad, Gpy, Gpx, out, S, box_valid)
     dtype = features[0].dtype
     w = w.astype(dtype)
 
@@ -430,20 +444,21 @@ def _roi_pallas_fwd(features, boxes, box_valid, strides, out, min_level,
         num_scalar_prefetch=4,
         grid=(B * P,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * L + [
-            pl.BlockSpec((1, out2, Gp * Gp), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, out2, Gpy * Gpx), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, out2, C), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((Gp, Gp, C), dtype),
+        scratch_shapes=[pltpu.VMEM((Gpy, Gpx, C), dtype),
                         pltpu.SemaphoreType.DMA],
     )
     pooled = pl.pallas_call(
-        functools.partial(_roi_fwd_kernel, L=L, Gp=Gp, C=C),
+        functools.partial(_roi_fwd_kernel, L=L, Gpy=Gpy, Gpx=Gpx, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * P, out2, C), dtype),
         interpret=not _on_tpu(),
     )(levels.reshape(-1).astype(jnp.int32), b_idx,
-      oy.reshape(-1).astype(jnp.int32), ox.reshape(-1).astype(jnp.int32),
+      oy.reshape(-1).astype(jnp.int32),
+      (ox // 8).reshape(-1).astype(jnp.int32),
       *feats_pad, w)
     return pooled.reshape(B, P, out, out, C)
 
